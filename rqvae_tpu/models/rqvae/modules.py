@@ -1,0 +1,253 @@
+"""VQGAN-style conv encoder/decoder, TPU-native (NHWC, flax.linen).
+
+Re-design of the reference taming-transformers backbone
+(/root/reference/rqvae/models/rqvae/modules.py:10-202 and layers.py:11-181):
+ResNet blocks with GroupNorm(32)+swish, single-head full self-attention at
+configured resolutions, nearest-2x upsampling and asymmetric-pad stride-2
+downsampling. Everything runs in NHWC so XLA tiles convs straight onto the
+MXU; activation rematerialisation (`checkpointing`) trades FLOPs for HBM like
+the reference's torch.utils.checkpoint (layers.py:122-127).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class DDConfig:
+    """ddconfig block of the stage-1 YAML (see configs/*/stage1/*.yaml)."""
+
+    ch: int
+    out_ch: int
+    in_channels: int
+    num_res_blocks: int
+    z_channels: int
+    resolution: int
+    ch_mult: tuple = (1, 2, 4, 8)
+    attn_resolutions: tuple = ()
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    double_z: bool = True
+
+    @staticmethod
+    def create(cfg) -> "DDConfig":
+        return DDConfig(
+            ch=cfg["ch"],
+            out_ch=cfg["out_ch"],
+            in_channels=cfg["in_channels"],
+            num_res_blocks=cfg["num_res_blocks"],
+            z_channels=cfg["z_channels"],
+            resolution=cfg["resolution"],
+            ch_mult=tuple(cfg.get("ch_mult", (1, 2, 4, 8))),
+            attn_resolutions=tuple(cfg.get("attn_resolutions", ())),
+            dropout=cfg.get("dropout", 0.0),
+            resamp_with_conv=cfg.get("resamp_with_conv", True),
+            double_z=cfg.get("double_z", True),
+        )
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32, eps=1e-6) matching reference Normalize (layers.py:16-17).
+    Normalisation statistics in fp32 regardless of activation dtype."""
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        return x.astype(orig_dtype)
+
+
+class Conv3x3(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride), padding="SAME"
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-2x + optional conv (layers.py:20-35)."""
+
+    with_conv: bool
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.with_conv:
+            x = nn.Conv(x.shape[-1], (3, 3), padding="SAME", name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Asymmetric right/bottom pad + stride-2 valid conv (layers.py:38-57)."""
+
+    with_conv: bool
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = nn.Conv(
+                x.shape[-1], (3, 3), strides=(2, 2), padding="VALID", name="conv"
+            )(x)
+        else:
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class ResnetBlock(nn.Module):
+    """norm-swish-conv x2 with 1x1 (or 3x3) shortcut (layers.py:60-127)."""
+
+    out_channels: int
+    conv_shortcut: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_channels = x.shape[-1]
+        h = GroupNorm32(name="norm1")(x)
+        h = swish(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv1")(h)
+        h = GroupNorm32(name="norm2")(h)
+        h = swish(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="conv2")(h)
+        if in_channels != self.out_channels:
+            if self.conv_shortcut:
+                x = nn.Conv(
+                    self.out_channels, (3, 3), padding="SAME", name="conv_shortcut"
+                )(x)
+            else:
+                x = nn.Conv(
+                    self.out_channels, (1, 1), padding="VALID", name="nin_shortcut"
+                )(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head full self-attention over H*W with 1x1-conv projections
+    (layers.py:130-181). 1x1 convs in NHWC are plain channel matmuls, so QKV
+    and proj run as one MXU dot each."""
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = GroupNorm32(name="norm")(x)
+        q = nn.Conv(C, (1, 1), name="q")(h).reshape(B, H * W, C)
+        k = nn.Conv(C, (1, 1), name="k")(h).reshape(B, H * W, C)
+        v = nn.Conv(C, (1, 1), name="v")(h).reshape(B, H * W, C)
+
+        attn = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+        attn = attn * (C ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(B, H, W, C)
+        out = nn.Conv(C, (1, 1), name="proj_out")(out)
+        return x + out
+
+
+class Encoder(nn.Module):
+    """Downsampling conv stack (reference modules.py:10-98)."""
+
+    config: DDConfig
+    checkpointing: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        num_resolutions = len(cfg.ch_mult)
+        Block = nn.remat(ResnetBlock, static_argnums=(2,)) if self.checkpointing else ResnetBlock
+
+        h = nn.Conv(cfg.ch, (3, 3), padding="SAME", name="conv_in")(x)
+
+        curr_res = cfg.resolution
+        in_ch_mult = (1,) + tuple(cfg.ch_mult)
+        for i_level in range(num_resolutions):
+            block_out = cfg.ch * cfg.ch_mult[i_level]
+            for i_block in range(cfg.num_res_blocks):
+                h = Block(
+                    out_channels=block_out,
+                    dropout=cfg.dropout,
+                    name=f"down_{i_level}_block_{i_block}",
+                )(h, deterministic)
+                if curr_res in cfg.attn_resolutions:
+                    h = AttnBlock(name=f"down_{i_level}_attn_{i_block}")(h)
+            if i_level != num_resolutions - 1:
+                h = Downsample(
+                    with_conv=cfg.resamp_with_conv, name=f"down_{i_level}_downsample"
+                )(h)
+                curr_res //= 2
+
+        h = Block(out_channels=h.shape[-1], dropout=cfg.dropout, name="mid_block_1")(
+            h, deterministic
+        )
+        h = AttnBlock(name="mid_attn_1")(h)
+        h = Block(out_channels=h.shape[-1], dropout=cfg.dropout, name="mid_block_2")(
+            h, deterministic
+        )
+
+        h = GroupNorm32(name="norm_out")(h)
+        h = swish(h)
+        out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        return h
+
+
+class Decoder(nn.Module):
+    """Upsampling conv stack (reference modules.py:101-202)."""
+
+    config: DDConfig
+    checkpointing: bool = False
+
+    @nn.compact
+    def __call__(self, z, deterministic: bool = True):
+        cfg = self.config
+        num_resolutions = len(cfg.ch_mult)
+        Block = nn.remat(ResnetBlock, static_argnums=(2,)) if self.checkpointing else ResnetBlock
+
+        block_in = cfg.ch * cfg.ch_mult[num_resolutions - 1]
+        curr_res = cfg.resolution // 2 ** (num_resolutions - 1)
+
+        h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in")(z)
+
+        h = Block(out_channels=block_in, dropout=cfg.dropout, name="mid_block_1")(
+            h, deterministic
+        )
+        h = AttnBlock(name="mid_attn_1")(h)
+        h = Block(out_channels=block_in, dropout=cfg.dropout, name="mid_block_2")(
+            h, deterministic
+        )
+
+        for i_level in reversed(range(num_resolutions)):
+            block_out = cfg.ch * cfg.ch_mult[i_level]
+            for i_block in range(cfg.num_res_blocks + 1):
+                h = Block(
+                    out_channels=block_out,
+                    dropout=cfg.dropout,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(h, deterministic)
+                if curr_res in cfg.attn_resolutions:
+                    h = AttnBlock(name=f"up_{i_level}_attn_{i_block}")(h)
+            if i_level != 0:
+                h = Upsample(
+                    with_conv=cfg.resamp_with_conv, name=f"up_{i_level}_upsample"
+                )(h)
+                curr_res *= 2
+
+        h = GroupNorm32(name="norm_out")(h)
+        h = swish(h)
+        h = nn.Conv(cfg.out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        return h
