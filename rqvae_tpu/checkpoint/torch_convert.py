@@ -173,6 +173,90 @@ def convert_rqvae(sd: Mapping, qcfg: QuantizerConfig) -> tuple[dict, CodebookSta
     return params, codebook
 
 
+def _convert_stack(sd: Mapping, prefix: str, n_layer: int) -> dict:
+    """Reference AttentionStack blocks -> stacked [n_layer, ...] arrays
+    (keys per /root/reference/rqvae/models/rqtransformer/attentions.py)."""
+
+    def stack(fmt, transform):
+        return np.stack([transform(_np(sd[fmt.format(i)])) for i in range(n_layer)])
+
+    ident = lambda w: w
+    return {
+        "ln1": {
+            "scale": stack(prefix + ".blocks.{}.ln1.weight", ident),
+            "bias": stack(prefix + ".blocks.{}.ln1.bias", ident),
+        },
+        "ln2": {
+            "scale": stack(prefix + ".blocks.{}.ln2.weight", ident),
+            "bias": stack(prefix + ".blocks.{}.ln2.bias", ident),
+        },
+        "attn": {
+            "wq": stack(prefix + ".blocks.{}.attn.query.weight", np.transpose),
+            "wk": stack(prefix + ".blocks.{}.attn.key.weight", np.transpose),
+            "wv": stack(prefix + ".blocks.{}.attn.value.weight", np.transpose),
+            "wo": stack(prefix + ".blocks.{}.attn.proj.weight", np.transpose),
+            "bq": stack(prefix + ".blocks.{}.attn.query.bias", ident),
+            "bk": stack(prefix + ".blocks.{}.attn.key.bias", ident),
+            "bv": stack(prefix + ".blocks.{}.attn.value.bias", ident),
+            "bo": stack(prefix + ".blocks.{}.attn.proj.bias", ident),
+        },
+        "mlp": {
+            "w1": stack(prefix + ".blocks.{}.mlp.0.weight", np.transpose),
+            "b1": stack(prefix + ".blocks.{}.mlp.0.bias", ident),
+            "w2": stack(prefix + ".blocks.{}.mlp.2.weight", np.transpose),
+            "b2": stack(prefix + ".blocks.{}.mlp.2.bias", ident),
+        },
+    }
+
+
+def convert_rqtransformer(sd: Mapping, config) -> dict:
+    """Reference RQTransformer state_dict -> functional param pytree
+    (keys per /root/reference/rqvae/models/rqtransformer/transformers.py:54-105).
+    `config` is a rqvae_tpu TransformerConfig."""
+    params: dict = {
+        "cond_emb": _np(sd["cond_emb.weight"]),
+        "pos_emb_cond": _np(sd["pos_emb_cond"]),
+        "pos_emb_hw": _np(sd["pos_emb_hw"]),
+        "pos_emb_d": _np(sd["pos_emb_d"]),
+        "body": _convert_stack(sd, "body_transformer", config.body.n_layer),
+        "head": _convert_stack(sd, "head_transformer", config.head.n_layer),
+    }
+    if "input_mlp.weight" in sd:
+        params["input_mlp"] = {
+            "kernel": linear_kernel(sd["input_mlp.weight"]),
+            "bias": _np(sd["input_mlp.bias"]),
+        }
+    if "head_mlp.weight" in sd:
+        params["head_mlp"] = {
+            "kernel": linear_kernel(sd["head_mlp.weight"]),
+            "bias": _np(sd["head_mlp.bias"]),
+        }
+    if "tok_emb.weight" in sd:
+        params["tok_emb"] = _np(sd["tok_emb.weight"])
+
+    cls = {
+        "ln_scale": _np(sd["classifier.layer_norm.weight"]),
+        "ln_bias": _np(sd["classifier.layer_norm.bias"]),
+    }
+    w = _np(sd["classifier.linear.weight"])
+    if w.ndim == 3:  # BatchLinear [D, in, out] — already in/out layout
+        cls["kernel"] = w
+        cls["bias"] = _np(sd["classifier.linear.bias"])
+    else:  # nn.Linear [out, in]
+        cls["kernel"] = w.T
+        cls["bias"] = _np(sd["classifier.linear.bias"])
+    params["classifier"] = cls
+
+    if "cond_classifier.layer_norm.weight" in sd:
+        params["cond_classifier"] = {
+            "ln_scale": _np(sd["cond_classifier.layer_norm.weight"]),
+            "ln_bias": _np(sd["cond_classifier.layer_norm.bias"]),
+            "kernel": linear_kernel(sd["cond_classifier.linear.weight"]),
+            "bias": _np(sd["cond_classifier.linear.bias"]),
+        }
+    return params
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .pt checkpoint into numpy arrays (CPU torch required)."""
     import torch

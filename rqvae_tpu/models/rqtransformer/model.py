@@ -1,0 +1,448 @@
+"""RQ-Transformer: spatial "body" AR transformer over H*W positions plus a
+depth "head" transformer over D residual levels per position.
+
+TPU-native functional re-design of the reference RQTransformer
+(/root/reference/rqvae/models/rqtransformer/transformers.py:34-410 and
+attentions.py:39-169). Differences from the torch original, by design:
+
+ - Pure functions over an explicit parameter pytree; per-layer weights are
+   STACKED along a leading layer axis so the whole stack runs as one
+   `lax.scan` — one compiled layer body regardless of depth (42-layer 3.8B
+   compiles as fast as 4 layers) and a natural target for pjit sharding.
+ - Teacher-forced forward and single-step decode share the same layer math;
+   decode keeps fixed-shape KV caches updated via dynamic_update_slice
+   (replacing torch tensor-concat caches, attentions.py:73-84).
+ - Attention logits/softmax accumulate in fp32 (MXU-friendly bf16 inputs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.models.rqtransformer.config import StackConfig, TransformerConfig
+
+LN_EPS = 1e-5  # torch nn.LayerNorm default
+
+
+# ---------------------------------------------------------------------------
+# parameter initialisation
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, shape, std=0.02):
+    return jax.random.normal(key, shape, dtype=jnp.float32) * std
+
+
+def init_stack_params(key, cfg: StackConfig) -> dict:
+    C, L = cfg.embed_dim, cfg.n_layer
+    ks = jax.random.split(key, 6)
+    return {
+        "ln1": {"scale": jnp.ones((L, C)), "bias": jnp.zeros((L, C))},
+        "ln2": {"scale": jnp.ones((L, C)), "bias": jnp.zeros((L, C))},
+        "attn": {
+            "wq": _dense_init(ks[0], (L, C, C)),
+            "wk": _dense_init(ks[1], (L, C, C)),
+            "wv": _dense_init(ks[2], (L, C, C)),
+            "wo": _dense_init(ks[3], (L, C, C)),
+            "bq": jnp.zeros((L, C)),
+            "bk": jnp.zeros((L, C)),
+            "bv": jnp.zeros((L, C)),
+            "bo": jnp.zeros((L, C)),
+        },
+        "mlp": {
+            "w1": _dense_init(ks[4], (L, C, 4 * C)),
+            "b1": jnp.zeros((L, 4 * C)),
+            "w2": _dense_init(ks[5], (L, 4 * C, C)),
+            "b2": jnp.zeros((L, C)),
+        },
+    }
+
+
+def init_transformer_params(key, config: TransformerConfig) -> dict:
+    """GPT-style N(0, 0.02) init (reference interfaces.py:62-69 convention;
+    pos embeddings per transformers.py:79-81)."""
+    C = config.embed_dim
+    D = config.depth
+    ks = iter(jax.random.split(key, 16))
+    params: dict = {
+        "cond_emb": _dense_init(next(ks), (config.vocab_size_cond, C)),
+        "pos_emb_cond": _dense_init(next(ks), (1, config.block_size_cond, C)),
+        "pos_emb_hw": _dense_init(next(ks), (1, config.hw, C)),
+        "pos_emb_d": _dense_init(next(ks), (1, D, C)),
+        "body": init_stack_params(next(ks), config.body),
+        "head": init_stack_params(next(ks), config.head),
+    }
+
+    if config.input_emb_vqvae:
+        params["input_mlp"] = {
+            "kernel": _dense_init(next(ks), (config.input_embed_dim, C)),
+            "bias": jnp.zeros((C,)),
+        }
+    if config.head_emb_vqvae:
+        params["head_mlp"] = {
+            "kernel": _dense_init(next(ks), (config.input_embed_dim, C)),
+            "bias": jnp.zeros((C,)),
+        }
+    if not (config.input_emb_vqvae and config.head_emb_vqvae):
+        if config.shared_tok_emb:
+            params["tok_emb"] = _dense_init(next(ks), (config.vocab_size[0], C))
+        else:
+            # TupleEmbedding: one table for all depths with offsets
+            # (reference primitives.py:25-72)
+            params["tok_emb"] = _dense_init(next(ks), (sum(config.vocab_size), C))
+
+    cls: dict = {"ln_scale": jnp.ones((C,)), "ln_bias": jnp.zeros((C,))}
+    if config.shared_cls_emb:
+        cls["kernel"] = _dense_init(next(ks), (C, config.vocab_size[0]))
+        cls["bias"] = jnp.zeros((config.vocab_size[0],))
+    else:
+        # BatchLinear: per-depth classifier heads (primitives.py:92-165)
+        cls["kernel"] = _dense_init(next(ks), (D, C, config.vocab_size_max))
+        cls["bias"] = jnp.zeros((D, config.vocab_size_max))
+    params["classifier"] = cls
+
+    if config.block_size_cond > 1:
+        params["cond_classifier"] = {
+            "ln_scale": jnp.ones((C,)),
+            "ln_bias": jnp.zeros((C,)),
+            "kernel": _dense_init(next(ks), (C, config.vocab_size_cond)),
+            "bias": jnp.zeros((config.vocab_size_cond,)),
+        }
+    return params
+
+
+def tok_emb_offsets(config: TransformerConfig) -> np.ndarray:
+    return np.cumsum([0] + list(config.vocab_size[:-1])).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x, scale, bias):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def gelu(x, version: str):
+    if version == "v1":
+        return jax.nn.gelu(x, approximate=False)  # torch F.gelu default (erf)
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _dropout(x, rate, rng, deterministic):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# attention stack: full causal forward (lax.scan over stacked layers)
+# ---------------------------------------------------------------------------
+
+
+def _attention(q, k, v, n_head, mask):
+    """q,k,v: [B, T, C]; mask: [Tq, Tk] bool (True = attend). fp32 softmax."""
+    B, Tq, C = q.shape
+    Tk = k.shape[1]
+    hs = C // n_head
+    q = q.reshape(B, Tq, n_head, hs).transpose(0, 2, 1, 3)
+    k = k.reshape(B, Tk, n_head, hs).transpose(0, 2, 1, 3)
+    v = v.reshape(B, Tk, n_head, hs).transpose(0, 2, 1, 3)
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    att = att * (1.0 / np.sqrt(hs))
+    att = jnp.where(mask[None, None], att, -jnp.inf)
+    att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
+    y = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+    return y.transpose(0, 2, 1, 3).reshape(B, Tq, C)
+
+
+def _layer_body(x, p, cfg: StackConfig, mask, rng, deterministic):
+    h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"])
+    q = h @ p["attn"]["wq"] + p["attn"]["bq"]
+    k = h @ p["attn"]["wk"] + p["attn"]["bk"]
+    v = h @ p["attn"]["wv"] + p["attn"]["bv"]
+    y = _attention(q, k, v, cfg.n_head, mask)
+    y = y @ p["attn"]["wo"] + p["attn"]["bo"]
+    if rng is not None:
+        rng, r1, r2 = jax.random.split(rng, 3)
+        y = _dropout(y, cfg.resid_pdrop, r1, deterministic)
+    x = x + y
+    h2 = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"])
+    m = gelu(h2 @ p["mlp"]["w1"] + p["mlp"]["b1"], cfg.gelu) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+    if rng is not None:
+        m = _dropout(m, cfg.resid_pdrop, r2, deterministic)
+    return x + m
+
+
+def stack_forward(
+    params: dict,
+    x: jax.Array,  # [B, T, C]
+    cfg: StackConfig,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    T = x.shape[1]
+    mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+    rngs = (
+        jax.random.split(rng, cfg.n_layer)
+        if (rng is not None and not deterministic)
+        else None
+    )
+
+    def body(carry, inp):
+        p = inp[0]
+        r = inp[1] if rngs is not None else None
+        return _layer_body(carry, p, cfg, mask, r, deterministic), None
+
+    xs = (params,) if rngs is None else (params, rngs)
+    out, _ = jax.lax.scan(body, x, xs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# attention stack: cached decode step
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Fixed-size KV cache: k/v [n_layer, B, n_head, T_max, head_size]."""
+
+    k: jax.Array
+    v: jax.Array
+
+
+def init_kv_cache(cfg: StackConfig, batch: int, t_max: int, dtype=jnp.float32) -> KVCache:
+    hs = cfg.embed_dim // cfg.n_head
+    shape = (cfg.n_layer, batch, cfg.n_head, t_max, hs)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def stack_step(
+    params: dict,
+    x: jax.Array,  # [B, S, C] new tokens (S=1 decode, S=cond_len prefill)
+    cache: KVCache,
+    cur_len: jax.Array,  # int32 scalar: tokens already in cache
+    cfg: StackConfig,
+) -> tuple[jax.Array, KVCache]:
+    B, S, C = x.shape
+    n_head = cfg.n_head
+    hs = C // n_head
+    t_max = cache.k.shape[3]
+
+    key_pos = jax.lax.broadcasted_iota(jnp.int32, (S, t_max), 1)
+    query_pos = cur_len + jax.lax.broadcasted_iota(jnp.int32, (S, t_max), 0)
+    mask = key_pos <= query_pos  # causal over cache + in-chunk
+
+    def body(carry, inp):
+        x, = carry
+        p, k_l, v_l = inp
+        h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"])
+        q = (h @ p["attn"]["wq"] + p["attn"]["bq"]).reshape(B, S, n_head, hs)
+        k = (h @ p["attn"]["wk"] + p["attn"]["bk"]).reshape(B, S, n_head, hs)
+        v = (h @ p["attn"]["wv"] + p["attn"]["bv"]).reshape(B, S, n_head, hs)
+        k = k.transpose(0, 2, 1, 3)  # [B, nh, S, hs]
+        v = v.transpose(0, 2, 1, 3)
+        k_l = jax.lax.dynamic_update_slice(k_l, k.astype(k_l.dtype), (0, 0, cur_len, 0))
+        v_l = jax.lax.dynamic_update_slice(v_l, v.astype(v_l.dtype), (0, 0, cur_len, 0))
+
+        q = q.transpose(0, 2, 1, 3)  # [B, nh, S, hs]
+        att = jnp.einsum("bhsd,bhtd->bhst", q, k_l, preferred_element_type=jnp.float32)
+        att = att * (1.0 / np.sqrt(hs))
+        att = jnp.where(mask[None, None], att, -jnp.inf)
+        att = jax.nn.softmax(att, axis=-1).astype(v_l.dtype)
+        y = jnp.einsum("bhst,bhtd->bhsd", att, v_l)
+        y = y.transpose(0, 2, 1, 3).reshape(B, S, C)
+        x = x + (y @ p["attn"]["wo"] + p["attn"]["bo"])
+        h2 = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"])
+        m = gelu(h2 @ p["mlp"]["w1"] + p["mlp"]["b1"], cfg.gelu) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+        return (x + m,), (k_l, v_l)
+
+    (out,), (new_k, new_v) = jax.lax.scan(body, (x,), (params, cache.k, cache.v))
+    return out, KVCache(k=new_k, v=new_v)
+
+
+# ---------------------------------------------------------------------------
+# embeddings / classifier
+# ---------------------------------------------------------------------------
+
+
+def tuple_tok_emb(params, config: TransformerConfig, xs: jax.Array) -> jax.Array:
+    """Token embedding over per-depth dictionaries: xs [..., D] int ->
+    [..., D, C]. Shared mode uses one table; tuple mode offsets into a
+    concatenated table (reference primitives.py:65-72)."""
+    if config.shared_tok_emb:
+        return jnp.take(params["tok_emb"], xs, axis=0)
+    offsets = jnp.asarray(tok_emb_offsets(config))
+    return jnp.take(params["tok_emb"], xs + offsets, axis=0)
+
+
+def apply_logit_mask(logits: jax.Array, config: TransformerConfig) -> jax.Array:
+    """-inf padding of invalid vocab tails when codebook sizes differ
+    (reference primitives.py:75-89). logits: [..., D, Vmax]."""
+    if not config.heterogeneous_vocab:
+        return logits
+    vmax = config.vocab_size_max
+    col = jax.lax.broadcasted_iota(jnp.int32, (config.depth, vmax), 1)
+    valid = col < jnp.asarray(config.vocab_size)[:, None]
+    return jnp.where(valid, logits, -jnp.inf)
+
+
+def classifier_apply(params, config: TransformerConfig, h: jax.Array, depth_idx=None):
+    """h: [..., D, C] (full) or [..., C] with depth_idx (decode step).
+    LayerNorm -> (shared Dense | per-depth BatchLinear) -> logit mask."""
+    cls = params["classifier"]
+    h = layer_norm(h, cls["ln_scale"], cls["ln_bias"])
+    if config.shared_cls_emb:
+        logits = h @ cls["kernel"] + cls["bias"]
+        if depth_idx is None:
+            return apply_logit_mask(logits, config)
+        return logits
+    if depth_idx is None:
+        logits = jnp.einsum("...dc,dcv->...dv", h, cls["kernel"]) + cls["bias"]
+        return apply_logit_mask(logits, config)
+    logits = h @ cls["kernel"][depth_idx] + cls["bias"][depth_idx]
+    if config.heterogeneous_vocab:
+        logits = jnp.where(
+            jnp.arange(config.vocab_size_max) < config.vocab_size[depth_idx],
+            logits,
+            -jnp.inf,
+        )
+    return logits
+
+
+def input_embed(params, config: TransformerConfig, xs, xs_emb):
+    """Body-side per-depth token embeddings [B, T, D, C]."""
+    if config.input_emb_vqvae:
+        return xs_emb @ params["input_mlp"]["kernel"] + params["input_mlp"]["bias"]
+    return tuple_tok_emb(params, config, xs)
+
+
+def head_embed(params, config: TransformerConfig, xs, xs_emb):
+    """Head-side per-depth context embeddings [B, T, D, C] (with cumsum over
+    depth when configured — transformers.py:156-164)."""
+    if config.head_emb_vqvae:
+        e = xs_emb
+        if config.cumsum_depth_ctx:
+            e = jnp.cumsum(e, axis=-2)
+        return e @ params["head_mlp"]["kernel"] + params["head_mlp"]["bias"]
+    return tuple_tok_emb(params, config, xs)
+
+
+# ---------------------------------------------------------------------------
+# teacher-forced forward
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: dict,
+    config: TransformerConfig,
+    xs: jax.Array,  # [B, H, W, D] int codes
+    cond: Optional[jax.Array] = None,  # [B, block_size_cond] int
+    xs_emb: Optional[jax.Array] = None,  # [B, H*W, D, input_embed_dim]
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+):
+    """Teacher-forced forward (reference transformers.py:113-188).
+
+    Returns seq_logits [B, H, W, D, Vmax] (and cond_logits
+    [B, cond_len-1, Vc] when block_size_cond > 1)."""
+    B, H, W, D = xs.shape
+    xs_flat = xs.reshape(B, H * W, D)
+    seq_len = H * W
+    cond_len = config.block_size_cond
+    if cond is None:
+        cond = jnp.zeros((B, cond_len), jnp.int32)
+    else:
+        cond = cond.reshape(B, cond_len)
+
+    rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+
+    in_emb = input_embed(params, config, xs_flat, xs_emb)  # [B, T, D, C]
+    conds_emb = (
+        jnp.take(params["cond_emb"], cond, axis=0)
+        + params["pos_emb_cond"][:, :cond_len]
+    )
+    xs_sum = jnp.sum(in_emb, axis=-2) + params["pos_emb_hw"][:, :seq_len]
+    latents = jnp.concatenate([conds_emb, xs_sum[:, :-1]], axis=1)
+    latents = _dropout(latents, config.embd_pdrop, rngs[0], deterministic)
+
+    h = stack_forward(params["body"], latents, config.body, rngs[1], deterministic)
+    spatial_ctx = h[:, cond_len - 1 :]
+
+    cond_logits = None
+    if cond_len > 1:
+        cc = params["cond_classifier"]
+        cond_ctx = layer_norm(h[:, : cond_len - 1], cc["ln_scale"], cc["ln_bias"])
+        cond_logits = cond_ctx @ cc["kernel"] + cc["bias"]
+
+    depth_ctx = head_embed(params, config, xs_flat, xs_emb)  # [B, T, D, C]
+    depth_full = jnp.concatenate(
+        [spatial_ctx[:, :, None, :], depth_ctx[:, :, :-1, :]], axis=-2
+    )
+    depth_full = depth_full.reshape(B * seq_len, D, -1) + params["pos_emb_d"][:, :D]
+
+    head_out = stack_forward(
+        params["head"], depth_full, config.head, rngs[2], deterministic
+    )
+    head_out = head_out.reshape(B, H, W, D, -1)
+    seq_logits = classifier_apply(params, config, head_out)
+
+    if cond_len > 1:
+        return seq_logits, cond_logits
+    return seq_logits
+
+
+# ---------------------------------------------------------------------------
+# losses (reference transformers.py:371-410; optimizer/loss.py:75-84)
+# ---------------------------------------------------------------------------
+
+
+def soft_target_cross_entropy(logits, soft_targets, reduction="mean"):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # match logits' vocab dim (soft targets cover the true vocab only)
+    loss = -jnp.sum(soft_targets * logp[..., : soft_targets.shape[-1]], axis=-1)
+    return jnp.mean(loss) if reduction == "mean" else loss
+
+
+def cross_entropy(logits, targets, reduction="mean"):
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    loss = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(loss) if reduction == "mean" else loss
+
+
+def compute_loss(logits, targets, use_soft_target: bool = False):
+    logits = logits.reshape(-1, logits.shape[-1])
+    if use_soft_target:
+        return soft_target_cross_entropy(logits, targets.reshape(-1, targets.shape[-1]))
+    return cross_entropy(logits, targets.reshape(-1))
+
+
+def compute_cond_loss(cond_logits, conds):
+    assert cond_logits.shape[1] == conds.shape[1] - 1
+    targets = conds[:, 1:]
+    return cross_entropy(
+        cond_logits.reshape(-1, cond_logits.shape[-1]), targets.reshape(-1)
+    )
+
+
+def compute_codebook_loss(logits, targets, use_soft_target: bool = False):
+    """Per-depth xent for logging (transformers.py:393-410)."""
+    D = logits.shape[-2]
+    logits = logits.reshape(-1, logits.shape[-1])
+    if use_soft_target:
+        tok = soft_target_cross_entropy(
+            logits, targets.reshape(-1, targets.shape[-1]), reduction="none"
+        )
+    else:
+        tok = cross_entropy(logits, targets.reshape(-1), reduction="none")
+    return jnp.mean(tok.reshape(-1, D), axis=0)

@@ -1,0 +1,229 @@
+"""Autoregressive sampling for the RQ-Transformer as a single jitted scan.
+
+The reference samples with a Python loop over product(H, W, D) — 256
+sequential `cached_forward` kernel launches per image
+(/root/reference/rqvae/models/rqtransformer/transformers.py:294-369). Here
+the whole loop is ONE compiled program: a `lax.scan` over the H*W spatial
+positions whose carry holds the body KV cache and running spatial context,
+with the D-deep residual loop unrolled inside each step (D is small and
+static). The depth head re-runs causal attention over its <=D rows each step
+instead of keeping a cache — at D<=4 rows that is cheaper than cache
+bookkeeping and keeps every shape static.
+
+Sampling semantics replicate reference sample_from_logits
+(/root/reference/rqvae/utils/utils.py:60-123) exactly: fp32 cast,
+temperature, top-k on logits (keeping ties with the k-th value), NaN guard,
+softmax, top-p on probabilities (sorted-cumsum mask shifted right), then a
+categorical draw.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+from rqvae_tpu.models.rqtransformer import model as M
+from rqvae_tpu.ops import quantize as rq
+
+
+# ---------------------------------------------------------------------------
+# top-k / top-p / categorical (reference utils.py:60-123 semantics)
+# ---------------------------------------------------------------------------
+
+
+def top_k_logits(logits: jax.Array, k: int) -> jax.Array:
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.float32(jnp.inf), logits)
+
+
+def top_p_probs(probs: jax.Array, p: float) -> jax.Array:
+    idx = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, idx, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    remove_sorted = cum >= p
+    # keep the first token that crosses p (shift right, reference utils.py:73-74)
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]], axis=-1
+    )
+    remove = jnp.put_along_axis(
+        jnp.zeros_like(remove_sorted), idx, remove_sorted, axis=-1, inplace=False
+    )
+    probs = jnp.where(remove, 0.0, probs)
+    return probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+
+def sample_from_logits(
+    rng: jax.Array,
+    logits: jax.Array,  # [B, V]
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+) -> jax.Array:
+    logits = logits.astype(jnp.float32) / temperature
+    if top_k is not None and top_k < logits.shape[-1]:
+        logits = top_k_logits(logits, top_k)
+    logits = jnp.where(jnp.isnan(logits), -jnp.inf, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if top_p is not None:
+        probs = top_p_probs(probs, top_p)
+    log_probs = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)), -jnp.inf)
+    return jax.random.categorical(rng, log_probs, axis=-1).astype(jnp.int32)
+
+
+def broadcast_topk_topp(config: TransformerConfig, top_k, top_p):
+    """Per-depth top-k/top-p lists from scalar/len-1/len-D inputs
+    (reference transformers.py:314-330)."""
+    D = config.depth
+    if top_k is None:
+        top_k_list = [config.vocab_size[i] for i in range(D)]
+    elif isinstance(top_k, int):
+        top_k_list = [min(top_k, config.vocab_size[i]) for i in range(D)]
+    elif len(top_k) == 1:
+        top_k_list = [min(top_k[0], config.vocab_size[i]) for i in range(D)]
+    else:
+        top_k_list = [min(top_k[i], config.vocab_size[i]) for i in range(D)]
+
+    if top_p is None:
+        top_p_list = [None] * D
+    elif isinstance(top_p, float):
+        top_p_list = [min(top_p, 1.0)] * D
+    elif len(top_p) == 1:
+        top_p_list = [min(top_p[0], 1.0)] * D
+    else:
+        top_p_list = [min(top_p[i], 1.0) for i in range(D)]
+    return top_k_list, top_p_list
+
+
+# ---------------------------------------------------------------------------
+# the sampling scan
+# ---------------------------------------------------------------------------
+
+
+def _vq_lookup(vq_state: rq.CodebookState, vq_config: rq.QuantizerConfig, d: int, code):
+    cb = vq_state.embed[vq_config.codebook_index(d)][: vq_config.n_embed[d]]
+    return rq.embed_lookup(cb, code)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "vq_config",
+        "batch_size",
+        "temperature",
+        "top_k",
+        "top_p",
+        "dtype",
+    ),
+)
+def sample(
+    params: dict,
+    config: TransformerConfig,
+    rng: jax.Array,
+    batch_size: int,
+    cond: Optional[jax.Array] = None,  # [B] / [B, Lc] ints or None
+    vq_state: Optional[rq.CodebookState] = None,
+    vq_config: Optional[rq.QuantizerConfig] = None,
+    temperature: float = 1.0,
+    top_k=None,  # int or tuple per depth (static)
+    top_p=None,  # float or tuple per depth (static)
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Sample codes [B, H, W, D] (reference RQTransformer.sample
+    transformers.py:294-369, cached path)."""
+    H, W, D = config.block_size
+    HW = H * W
+    C = config.embed_dim
+    B = batch_size
+    cond_len = config.block_size_cond
+
+    top_k_list, top_p_list = broadcast_topk_topp(
+        config,
+        tuple(top_k) if isinstance(top_k, (list, tuple)) else top_k,
+        tuple(top_p) if isinstance(top_p, (list, tuple)) else top_p,
+    )
+
+    if config.input_emb_vqvae or config.head_emb_vqvae:
+        assert vq_state is not None and vq_config is not None
+
+    def body_emb_of_code(d, code):
+        """input-side embedding of one sampled code at depth d -> [B, C]."""
+        if config.input_emb_vqvae:
+            e = _vq_lookup(vq_state, vq_config, d, code)
+            return (
+                e @ params["input_mlp"]["kernel"] + params["input_mlp"]["bias"]
+            ).astype(dtype)
+        off = int(M.tok_emb_offsets(config)[d]) if not config.shared_tok_emb else 0
+        return jnp.take(params["tok_emb"], code + off, axis=0).astype(dtype)
+
+    def head_row_of_prefix(d, raw_cum, code):
+        """head-context row for depth d+1 given codes up to depth d."""
+        if config.head_emb_vqvae:
+            e = _vq_lookup(vq_state, vq_config, d, code)
+            raw_cum = raw_cum + e if config.cumsum_depth_ctx else e
+            row = raw_cum @ params["head_mlp"]["kernel"] + params["head_mlp"]["bias"]
+            return raw_cum, row.astype(dtype)
+        off = int(M.tok_emb_offsets(config)[d]) if not config.shared_tok_emb else 0
+        return raw_cum, jnp.take(params["tok_emb"], code + off, axis=0).astype(dtype)
+
+    # ---- prefill: cond tokens through the body -------------------------
+    if cond is None:
+        cond = jnp.zeros((B, cond_len), jnp.int32)
+    else:
+        cond = cond.reshape(B, cond_len)
+    conds_emb = (
+        jnp.take(params["cond_emb"], cond, axis=0)
+        + params["pos_emb_cond"][:, :cond_len]
+    ).astype(dtype)
+
+    t_max = cond_len + HW  # one spare slot keeps the last step branch-free
+    body_kv = M.init_kv_cache(config.body, B, t_max, dtype)
+    h, body_kv = M.stack_step(
+        params["body"], conds_emb, body_kv, jnp.int32(0), config.body
+    )
+    spatial_ctx = h[:, -1, :]  # [B, C]
+
+    pos_hw = params["pos_emb_hw"][0].astype(dtype)  # [HW, C]
+    pos_d = params["pos_emb_d"][0].astype(dtype)  # [D, C]
+    raw_dim = (
+        vq_config.embed_dim if (config.head_emb_vqvae and vq_config is not None) else 1
+    )
+
+    def step(carry, inputs):
+        rng, spatial_ctx, body_kv = carry
+        t, pos_row = inputs
+
+        depth_in = jnp.zeros((B, D, C), dtype)
+        depth_in = depth_in.at[:, 0, :].set(spatial_ctx + pos_d[0])
+        raw_cum = jnp.zeros((B, raw_dim), jnp.float32)
+        body_sum = jnp.zeros((B, C), dtype)
+        codes_t = []
+
+        for d in range(D):
+            h = M.stack_forward(params["head"], depth_in, config.head)
+            logits = M.classifier_apply(params, config, h[:, d, :], depth_idx=d)
+            rng, sub = jax.random.split(rng)
+            code_d = sample_from_logits(
+                sub, logits, temperature, top_k_list[d], top_p_list[d]
+            )
+            codes_t.append(code_d)
+            body_sum = body_sum + body_emb_of_code(d, code_d)
+            if d < D - 1:
+                raw_cum, row = head_row_of_prefix(d, raw_cum, code_d)
+                depth_in = depth_in.at[:, d + 1, :].set(row + pos_d[d + 1])
+
+        u = (body_sum + pos_row)[:, None, :]  # [B, 1, C]
+        h, body_kv = M.stack_step(params["body"], u, body_kv, cond_len + t, config.body)
+        return (rng, h[:, 0, :], body_kv), jnp.stack(codes_t, axis=-1)
+
+    (_, _, _), codes = jax.lax.scan(
+        step,
+        (rng, spatial_ctx, body_kv),
+        (jnp.arange(HW, dtype=jnp.int32), pos_hw),
+    )
+    # codes: [HW, B, D] -> [B, H, W, D]
+    return codes.transpose(1, 0, 2).reshape(B, H, W, D)

@@ -101,7 +101,20 @@ def load_rqtransformer_modules():
         p.__path__ = [f"{REF_ROOT}/rqvae/models/rqtransformer"]
         sys.modules[pkg] = p
     base = f"{REF_ROOT}/rqvae/models/rqtransformer"
-    configs = _load(pkg, "configs", f"{base}/configs.py")
+    # configs.py uses mutable dataclass defaults (illegal on Python 3.12) and
+    # is only imported for type annotations — stub it.
+    cfg_name = f"{pkg}.configs"
+    if cfg_name not in sys.modules:
+        configs = types.ModuleType(cfg_name)
+
+        class _Cfg:  # placeholder annotation targets
+            pass
+
+        configs.AttentionBlockConfig = _Cfg
+        configs.AttentionStackConfig = _Cfg
+        configs.RQTransformerConfig = _Cfg
+        sys.modules[cfg_name] = configs
+    configs = sys.modules[cfg_name]
     primitives = _load(pkg, "primitives", f"{base}/primitives.py")
     attentions = _load(pkg, "attentions", f"{base}/attentions.py")
     transformers = _load(pkg, "transformers", f"{base}/transformers.py")
