@@ -1,0 +1,190 @@
+"""Headline benchmark: RQ-Transformer 1.4B class-conditional sampling +
+decode, ms/sample on one TPU chip.
+
+Replicates the reference `measure_throughput` tool
+(/root/reference/measure_throughput/__main__.py:246-344): f32 RQ-VAE
+(8x8 codes, 256x256 out) + 'huge' 1.4B RQ-Transformer (embed 1536, body 42,
+head 6), depth 4, codebook 16384, default sampling knobs (temperature 1.0,
+no top-k/top-p), timing AR sampling + decode per sample. Baseline: A100
+numbers from the shipped figure (BASELINE.md addendum) — 39 ms/sample at
+batch 100.
+
+TPU-side differences (the whole point): the 256-step Python loop is one
+jitted lax.scan; decode is batched (chunked only to bound activation
+memory); weights are bf16 with fp32 attention softmax and fp32 logits.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms/sample", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rqvae_tpu.models.rqtransformer import model as M
+from rqvae_tpu.models.rqtransformer import sampling as S
+from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+from rqvae_tpu.models.rqvae.model import RQVAE, RQVAEHParams
+from rqvae_tpu.models.rqvae.modules import DDConfig
+from rqvae_tpu.ops import quantize as rq
+from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+BATCH_SIZE = int(os.environ.get("BENCH_BS", "100"))
+N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "400"))  # per timed loop
+N_LOOPS = int(os.environ.get("BENCH_LOOPS", "2"))
+DECODE_CHUNK = int(os.environ.get("BENCH_DECODE_CHUNK", "25"))
+A100_BASELINE_MS = {100: 39.0, 200: 25.0, 500: 19.0}
+DTYPE = jnp.bfloat16
+
+
+def build_models():
+    # 'huge' = 1.4B (measure_throughput/__main__.py:71-93) on f32 geometry
+    arch = dict(
+        type="rq-transformer",
+        vocab_size=16384,
+        block_size=[8, 8, 4],
+        embed_dim=1536,
+        input_embed_dim=256,
+        shared_tok_emb=True,
+        shared_cls_emb=True,
+        input_emb_vqvae=True,
+        head_emb_vqvae=True,
+        cumsum_depth_ctx=True,
+        vocab_size_cond=1000,
+        block_size_cond=1,
+        body={"n_layer": 42, "block": {"n_head": 24}},
+        head={"n_layer": 6, "block": {"n_head": 24}},
+    )
+    tconf = TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
+
+    # jit the init: one compiled program instead of hundreds of small RNG
+    # dispatches through the device tunnel
+    @jax.jit
+    def _init_t(key):
+        p = M.init_transformer_params(key, tconf)
+        return jax.tree.map(lambda x: x.astype(DTYPE), p)
+
+    t0 = time.time()
+    params = jax.tree.map(lambda x: x.block_until_ready(), _init_t(jax.random.PRNGKey(0)))
+    print(f"# transformer init: {time.time()-t0:.1f} s", file=sys.stderr, flush=True)
+
+    dd = DDConfig.create(
+        dict(
+            double_z=False, z_channels=256, resolution=256, in_channels=3, out_ch=3,
+            ch=128, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
+            attn_resolutions=[8], dropout=0.0,
+        )
+    )
+    hp = RQVAEHParams.create(
+        dict(
+            embed_dim=256, n_embed=16384, loss_type="mse",
+            latent_shape=[8, 8, 256], code_shape=[8, 8, 4],
+            shared_codebook=True, restart_unused_codes=True,
+        )
+    )
+    vqvae = RQVAE(hparams=hp, ddconfig=dd, use_kernel=True)
+
+    @jax.jit
+    def _init_v(k1, k2):
+        x0 = jnp.zeros((1, 256, 256, 3), DTYPE)
+        v = vqvae.init({"params": k1, "quantizer": k2}, x0)
+        return jax.tree.map(
+            lambda x: x.astype(DTYPE) if x.dtype == jnp.float32 else x, v
+        )
+
+    t0 = time.time()
+    vq_vars = jax.tree.map(
+        lambda x: x.block_until_ready(),
+        _init_v(jax.random.PRNGKey(1), jax.random.PRNGKey(2)),
+    )
+    print(f"# rq-vae init: {time.time()-t0:.1f} s", file=sys.stderr, flush=True)
+    return tconf, params, vqvae, vq_vars
+
+
+def main():
+    tconf, params, vqvae, vq_vars = build_models()
+    vq_config = vqvae.quantizer_config
+    vq_state = vq_vars["codebook"]["state"]
+
+    n_ar = sum(p.size for p in jax.tree.leaves(params))
+    n_vq = sum(p.size for p in jax.tree.leaves(vq_vars["params"]))
+    print(
+        f"# rq-transformer {n_ar/1e6:.0f}M, rq-vae {n_vq/1e6:.0f}M, "
+        f"bs {BATCH_SIZE}, dtype {DTYPE.__name__}, backend {jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+    cond = jnp.zeros((BATCH_SIZE,), jnp.int32)
+
+    def sample_fn(key):
+        return S.sample(
+            params, tconf, key, BATCH_SIZE, cond=cond,
+            vq_state=vq_state, vq_config=vq_config,
+            temperature=1.0, top_k=None, top_p=None, dtype=DTYPE,
+        )
+
+    n_chunks = max(1, BATCH_SIZE // DECODE_CHUNK)
+
+    @jax.jit
+    def decode_fn(codes):
+        chunks = codes.reshape(n_chunks, DECODE_CHUNK, *codes.shape[1:])
+
+        def dec(chunk):
+            pix = vqvae.apply(vq_vars, chunk, method=RQVAE.decode_code)
+            return jnp.clip(0.5 * pix + 0.5, 0.0, 1.0)
+
+        # lax.map: decoder body compiles ONCE, runs sequentially per chunk
+        pixels = jax.lax.map(dec, chunks)
+        return pixels.reshape(BATCH_SIZE, *pixels.shape[2:])
+
+    def one_iter(key):
+        codes = sample_fn(key)
+        pixels = decode_fn(codes)
+        # tiny reductions force completion through the transfer (the axon
+        # tunnel does not honor block_until_ready)
+        return np.asarray(codes.sum()), np.asarray(pixels[:, ::64, ::64].mean())
+
+    # warmup/compile
+    t0 = time.time()
+    codes = sample_fn(jax.random.PRNGKey(99))
+    _ = np.asarray(codes.sum())
+    print(f"# sample compile+run: {time.time()-t0:.1f} s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    _ = np.asarray(decode_fn(codes)[:, ::64, ::64].mean())
+    print(f"# decode compile+run: {time.time()-t0:.1f} s", file=sys.stderr, flush=True)
+
+    n_iters = max(1, N_SAMPLES // BATCH_SIZE)
+    speeds = []
+    for loop in range(N_LOOPS):
+        t0 = time.time()
+        for i in range(n_iters):
+            one_iter(jax.random.PRNGKey(loop * 1000 + i))
+        dt = time.time() - t0
+        ms = dt / (n_iters * BATCH_SIZE) * 1000
+        speeds.append(ms)
+        print(f"# loop {loop+1}/{N_LOOPS}: {ms:.2f} ms/sample", file=sys.stderr)
+
+    value = min(speeds)
+    baseline = A100_BASELINE_MS.get(BATCH_SIZE, A100_BASELINE_MS[100])
+    print(
+        json.dumps(
+            {
+                "metric": f"RQ-Transformer 1.4B cIN256 sampling+decode, bs{BATCH_SIZE}, 1 TPU chip",
+                "value": round(value, 2),
+                "unit": "ms/sample",
+                "vs_baseline": round(baseline / value, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -64,7 +64,10 @@ class GroupNorm32(nn.Module):
     def __call__(self, x):
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        # min() only relaxes tiny test configs; all reference configs have
+        # channels >= 32 and use exactly 32 groups
+        groups = min(32, x.shape[-1])
+        x = nn.GroupNorm(num_groups=groups, epsilon=1e-6, name="norm")(x)
         return x.astype(orig_dtype)
 
 

@@ -1,0 +1,330 @@
+"""Stage-1 (RQ-VAE + VQGAN losses) training step.
+
+TPU-native re-design of the reference TrainerRQVAE hot loop
+(/root/reference/rqvae/trainers/trainer_rqvae.py:220-317): ONE jitted step
+performs the generator update (recon + commitment + LPIPS + adaptive-weighted
+GAN loss), the EMA codebook update (inside the quantizer, psum over the data
+axis), and the discriminator update (hinge/vanilla) with its own
+optimizer/schedule. The adaptive GAN weight replicates
+calculate_adaptive_weight (trainer_rqvae.py:31-37): two extra grads of the
+nll / generator losses w.r.t. ONLY the decoder's final conv kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from rqvae_tpu.losses import gan as gan_losses
+from rqvae_tpu.losses.discriminator import NLayerDiscriminator
+from rqvae_tpu.losses.lpips import LPIPS
+from rqvae_tpu.models import ema as ema_lib
+from rqvae_tpu.models.rqvae.model import RQVAE
+
+
+@flax.struct.dataclass
+class Stage1State:
+    step: jax.Array
+    params: Any  # RQ-VAE params
+    opt_state: Any
+    codebook: Any  # {"state": CodebookState}
+    disc_params: Any
+    disc_opt_state: Any
+    disc_batch_stats: Any
+    disc_step: jax.Array
+    ema_params: Any = None
+
+
+@dataclasses.dataclass(frozen=True)
+class GanLossConfig:
+    disc_loss: str = "hinge"
+    gen_loss: str = "vanilla"
+    disc_weight: float = 0.75
+    perceptual_weight: float = 1.0
+    disc_start: int = 0
+
+
+def init_state(
+    rng: jax.Array,
+    model: RQVAE,
+    disc: NLayerDiscriminator,
+    tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    image_shape=(256, 256, 3),
+    use_ema: bool = False,
+) -> Stage1State:
+    r1, r2, r3 = jax.random.split(rng, 3)
+    x0 = jnp.zeros((1, *image_shape))
+    variables = model.init({"params": r1, "quantizer": r2}, x0)
+    disc_vars = disc.init(r3, x0, train=True)
+    params = variables["params"]
+    return Stage1State(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        codebook=variables["codebook"],
+        disc_params=disc_vars["params"],
+        disc_opt_state=disc_tx.init(disc_vars["params"]),
+        disc_batch_stats=disc_vars.get("batch_stats", {}),
+        disc_step=jnp.zeros((), jnp.int32),
+        ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+    )
+
+
+def _tree_get(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+LAST_LAYER_PATH = ("decoder", "conv_out", "kernel")
+
+
+def make_train_step(
+    model: RQVAE,
+    disc: NLayerDiscriminator,
+    lpips: LPIPS,
+    lpips_vars: dict,
+    gan_cfg: GanLossConfig,
+    tx: optax.GradientTransformation,
+    disc_tx: optax.GradientTransformation,
+    *,
+    use_discriminator: bool,  # epoch >= disc_start (static: jit both variants)
+    ema_mu: float = 0.9999,
+):
+    d_loss_fn = gan_losses.D_LOSSES[gan_cfg.disc_loss]
+    g_loss_fn = gan_losses.G_LOSSES[gan_cfg.gen_loss]
+    p_weight = gan_cfg.perceptual_weight
+
+    def forward_losses(params, codebook, xs, rng):
+        """Generator forward: returns (everything the update needs)."""
+        out, quant_loss, codes, new_codebook = _apply_train(
+            model, params, codebook, xs, rng
+        )
+        losses = model.compute_loss(out, quant_loss, codes, xs=xs)
+        loss_pcpt = lpips.apply(lpips_vars, xs, out)
+        return out, losses, loss_pcpt, codes, new_codebook
+
+    def _apply_train(model, params, codebook, xs, rng):
+        (out, quant_loss, codes), mutated = model.apply(
+            {"params": params, "codebook": codebook},
+            xs,
+            training=True,
+            rngs={"quantizer": rng, "dropout": jax.random.fold_in(rng, 1)},
+            mutable=["codebook"],
+        )
+        return out, quant_loss, codes, mutated["codebook"]
+
+    def disc_apply(disc_params, batch_stats, x, update_stats: bool):
+        variables = {"params": disc_params, "batch_stats": batch_stats}
+        # train=True normalizes with batch statistics (torch train-mode BN);
+        # the running-stat write is kept only for the discriminator's own step
+        logits, mutated = disc.apply(variables, x, train=True, mutable=["batch_stats"])
+        return logits, (mutated["batch_stats"] if update_stats else batch_stats)
+
+    def gen_loss_total(params, codebook, xs, rng, disc_params, batch_stats):
+        out, losses, loss_pcpt, codes, new_codebook = forward_losses(
+            params, codebook, xs, rng
+        )
+        aux = {
+            "out": out,
+            "codes": codes,
+            "new_codebook": new_codebook,
+            "loss_recon": losses["loss_recon"],
+            "loss_latent": losses["loss_latent"],
+            "loss_pcpt": loss_pcpt,
+        }
+        loss_rec_lat = losses["loss_total"]
+
+        if use_discriminator:
+            logits_fake, _ = disc_apply(disc_params, batch_stats, out, False)
+            loss_gen = g_loss_fn(logits_fake)
+            # adaptive weight: grads of nll / g wrt ONLY the last conv kernel
+            # (computed outside; here return pieces)
+            aux["loss_gen"] = loss_gen
+        else:
+            aux["loss_gen"] = jnp.zeros(())
+        return loss_rec_lat, aux
+
+    def last_layer_grads(params, codebook, xs, rng, disc_params, batch_stats):
+        """||d nll/d last||, ||d g/d last|| with nll = recon + p*pcpt."""
+        last = _tree_get(params, LAST_LAYER_PATH)
+
+        def split_losses(last_kernel):
+            p = _tree_set_nested(params, LAST_LAYER_PATH, last_kernel)
+            out, losses, loss_pcpt, _, _ = forward_losses(p, codebook, xs, rng)
+            nll = losses["loss_recon"] + p_weight * loss_pcpt
+            logits_fake, _ = disc_apply(disc_params, batch_stats, out, False)
+            g = g_loss_fn(logits_fake)
+            return jnp.stack([nll, g])
+
+        jac = jax.jacrev(split_losses)(last)  # [2, *last.shape]
+        nll_norm = jnp.linalg.norm(jac[0].reshape(-1))
+        g_norm = jnp.linalg.norm(jac[1].reshape(-1))
+        d_weight = nll_norm / (g_norm + 1e-4)
+        return jnp.clip(d_weight, 0.0, 1e4)
+
+    def _tree_set_nested(tree, path, value):
+        def rec(node, i):
+            node = dict(node)
+            if i == len(path) - 1:
+                node[path[i]] = value
+            else:
+                node[path[i]] = rec(node[path[i]], i + 1)
+            return node
+
+        return rec(tree, 0)
+
+    def train_step(state: Stage1State, batch: dict, rng: jax.Array):
+        xs = batch["images"]
+        rng = jax.random.fold_in(rng, state.step)
+
+        if use_discriminator:
+            g_weight = last_layer_grads(
+                state.params, state.codebook, xs, rng,
+                state.disc_params, state.disc_batch_stats,
+            )
+            g_weight = jax.lax.stop_gradient(g_weight)
+        else:
+            g_weight = jnp.zeros(())
+
+        def total_gen(params):
+            loss_rec_lat, aux = gen_loss_total(
+                params, state.codebook, xs, rng,
+                state.disc_params, state.disc_batch_stats,
+            )
+            total = (
+                loss_rec_lat
+                + p_weight * aux["loss_pcpt"]
+                + g_weight * gan_cfg.disc_weight * aux["loss_gen"]
+            )
+            return total, aux
+
+        (loss_gen_total, aux), grads = jax.value_and_grad(total_gen, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # discriminator step (reference trainer_rqvae.py:267-273)
+        out_detached = jax.lax.stop_gradient(aux["out"])
+        if use_discriminator:
+            def disc_loss_fn(disc_params):
+                logits_fake, bs1 = disc_apply(
+                    disc_params, state.disc_batch_stats, out_detached, True
+                )
+                logits_real, bs2 = disc_apply(disc_params, bs1, xs, True)
+                loss_disc = d_loss_fn(logits_real, logits_fake)
+                return gan_cfg.disc_weight * loss_disc, (
+                    loss_disc, logits_real, logits_fake, bs2,
+                )
+
+            (_, (loss_disc, logits_real, logits_fake, new_bs)), d_grads = (
+                jax.value_and_grad(disc_loss_fn, has_aux=True)(state.disc_params)
+            )
+            d_updates, disc_opt_state = disc_tx.update(
+                d_grads, state.disc_opt_state, state.disc_params
+            )
+            disc_params = optax.apply_updates(state.disc_params, d_updates)
+            disc_step = state.disc_step + 1
+            logits_avg = {
+                "logits_real": jnp.mean(logits_real),
+                "logits_fake": jnp.mean(logits_fake),
+            }
+        else:
+            loss_disc = jnp.zeros(())
+            disc_params, disc_opt_state = state.disc_params, state.disc_opt_state
+            new_bs = state.disc_batch_stats
+            disc_step = state.disc_step
+            logits_avg = {"logits_real": jnp.zeros(()), "logits_fake": jnp.zeros(())}
+
+        ema_params = state.ema_params
+        if ema_params is not None:
+            ema_params = ema_lib.ema_update(ema_params, params, state.step, ema_mu)
+
+        metrics = {
+            "loss_total": aux["loss_recon"]
+            + model.hparams.latent_loss_weight * aux["loss_latent"]
+            + p_weight * aux["loss_pcpt"],
+            "loss_recon": aux["loss_recon"],
+            "loss_latent": aux["loss_latent"],
+            "loss_pcpt": aux["loss_pcpt"],
+            "loss_gen": aux["loss_gen"],
+            "loss_disc": loss_disc,
+            "g_weight": g_weight,
+            **logits_avg,
+        }
+        new_state = Stage1State(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            codebook=aux["new_codebook"],
+            disc_params=disc_params,
+            disc_opt_state=disc_opt_state,
+            disc_batch_stats=new_bs,
+            disc_step=disc_step,
+            ema_params=ema_params,
+        )
+        return new_state, metrics, aux["codes"]
+
+    return train_step
+
+
+def make_eval_step(
+    model: RQVAE,
+    disc: NLayerDiscriminator,
+    lpips: LPIPS,
+    lpips_vars: dict,
+    gan_cfg: GanLossConfig,
+    *,
+    use_discriminator: bool,
+    use_ema: bool = False,
+):
+    """Eval step with the reference's batch-size-scaled sums
+    (trainer_rqvae.py:137-218: valid=True scales recon by B*C, latent by B,
+    pcpt/gen/disc by B)."""
+    d_loss_fn = gan_losses.D_LOSSES[gan_cfg.disc_loss]
+    g_loss_fn = gan_losses.G_LOSSES[gan_cfg.gen_loss]
+    p_weight = gan_cfg.perceptual_weight
+
+    def eval_step(state: Stage1State, batch: dict):
+        xs = batch["images"]
+        params = state.ema_params if use_ema else state.params
+        out, quant_loss, codes = model.apply(
+            {"params": params, "codebook": state.codebook}, xs
+        )
+        losses = model.compute_loss(out, quant_loss, codes, xs=xs, valid=True)
+        loss_pcpt = lpips.apply(lpips_vars, xs, out) * xs.shape[0]
+
+        if use_discriminator:
+            variables = {"params": state.disc_params, "batch_stats": state.disc_batch_stats}
+            logits_fake = disc.apply(variables, out, train=False)
+            logits_real = disc.apply(variables, xs, train=False)
+            loss_gen = g_loss_fn(logits_fake) * xs.shape[0]
+            loss_disc = d_loss_fn(logits_real, logits_fake) * xs.shape[0]
+            logits = {
+                "logits_real": jnp.mean(logits_real) * xs.shape[0],
+                "logits_fake": jnp.mean(logits_fake) * xs.shape[0],
+            }
+        else:
+            loss_gen = loss_disc = jnp.zeros(())
+            logits = {"logits_real": jnp.zeros(()), "logits_fake": jnp.zeros(())}
+
+        metrics = {
+            "loss_total": losses["loss_total"] + p_weight * loss_pcpt,
+            "loss_recon": losses["loss_recon"],
+            "loss_latent": losses["loss_latent"],
+            "loss_pcpt": loss_pcpt,
+            "loss_gen": loss_gen,
+            "loss_disc": loss_disc,
+            **logits,
+        }
+        return metrics, codes
+
+    return eval_step
