@@ -1,0 +1,178 @@
+"""Data pipeline tests with synthetic on-disk datasets."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rqvae_tpu.data import (
+    Cc3m,
+    Cc3mTextOnly,
+    DataLoader,
+    FFHQ,
+    ImageFolder,
+    create_dataset,
+    create_transforms,
+)
+from rqvae_tpu.data.transforms import create_txtimg_transforms
+from rqvae_tpu.utils.config import Config
+
+
+def make_imagefolder(root, n_classes=3, per_class=4, size=(300, 280)):
+    rng = np.random.RandomState(0)
+    for c in range(n_classes):
+        d = root / f"class_{c}"
+        d.mkdir(parents=True)
+        for i in range(per_class):
+            arr = rng.randint(0, 255, (*size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.jpg")
+
+
+class TestTransforms:
+    def test_imagenet_train_shape_and_range(self):
+        cfg = {"transforms": {"type": "imagenet256x256"}}
+        t = create_transforms(cfg, "train")
+        img = Image.fromarray(np.full((300, 500, 3), 128, np.uint8))
+        out = t(img, np.random.default_rng(0))
+        assert out.shape == (256, 256, 3)
+        assert out.dtype == np.float32
+        assert -1.0 <= out.min() and out.max() <= 1.0
+        np.testing.assert_allclose(out.mean(), 128 / 255 * 2 - 1, atol=1e-2)
+
+    def test_imagenet_eval_deterministic(self):
+        cfg = {"transforms": {"type": "imagenet256x256"}}
+        t = create_transforms(cfg, "val")
+        img = Image.fromarray(np.random.RandomState(0).randint(0, 255, (300, 500, 3), dtype=np.uint8))
+        a = t(img, np.random.default_rng(0))
+        b = t(img, np.random.default_rng(99))
+        np.testing.assert_array_equal(a, b)
+
+    def test_ffhq_train(self):
+        cfg = {"transforms": {"type": "ffhq256x256"}}
+        t = create_transforms(cfg, "train")
+        img = Image.fromarray(np.zeros((1024, 1024, 3), np.uint8))
+        out = t(img, np.random.default_rng(0))
+        assert out.shape == (256, 256, 3)
+
+    def test_dalle_vqvae(self):
+        cfg = {"transforms": "dalle-vqvae", "image_resolution": 64}
+        t = create_txtimg_transforms(cfg, "train")
+        img = Image.fromarray(np.zeros((100, 160, 3), np.uint8))
+        out = t(img, np.random.default_rng(0))
+        assert out.shape == (64, 64, 3)
+        # eval path: exact resize
+        t_val = create_txtimg_transforms(cfg, "valid")
+        out = t_val(img, np.random.default_rng(0))
+        assert out.shape == (64, 64, 3)
+
+
+class TestDatasets:
+    def test_imagefolder_and_loader(self, tmp_path):
+        make_imagefolder(tmp_path)
+        cfg = {"transforms": {"type": "imagenet256x256"}}
+        ds = ImageFolder(str(tmp_path), create_transforms(cfg, "train"))
+        assert len(ds) == 12
+        assert ds.n_classes == 3
+        img, label = ds[0]
+        assert img.shape == (256, 256, 3) and label == 0
+
+        loader = DataLoader(ds, batch_size=4, shuffle=True, seed=1, num_workers=2)
+        assert len(loader) == 3
+        batches = list(loader)
+        assert len(batches) == 3
+        assert batches[0]["images"].shape == (4, 256, 256, 3)
+        assert batches[0]["cond"].shape == (4,)
+
+        # set_epoch changes order deterministically
+        loader.set_epoch(0)
+        o1 = [b["cond"].tolist() for b in loader]
+        loader.set_epoch(0)
+        o2 = [b["cond"].tolist() for b in loader]
+        assert o1 == o2
+        loader.set_epoch(1)
+        o3 = [b["cond"].tolist() for b in loader]
+        assert o1 != o3
+
+    def test_create_dataset_factory_imagenet(self, tmp_path):
+        make_imagefolder(tmp_path / "train")
+        make_imagefolder(tmp_path / "val", per_class=2)
+        config = Config(
+            {
+                "dataset": {
+                    "type": "imagenet",
+                    "root": str(tmp_path),
+                    "transforms": {"type": "imagenet256x256"},
+                },
+                "experiment": {"total_batch_size": 4},
+            }
+        )
+        trn, val = create_dataset(config)
+        assert len(trn) == 12 and len(val) == 6
+        # imagenet_u zeroes labels
+        config.dataset.type = "imagenet_u"
+        trn_u, _ = create_dataset(config)
+        assert all(trn_u[i][1] == 0 for i in range(3))
+
+    def test_smoke_test_truncation(self, tmp_path, monkeypatch):
+        make_imagefolder(tmp_path / "train")
+        make_imagefolder(tmp_path / "val")
+        monkeypatch.setenv("SMOKE_TEST", "1")
+        config = Config(
+            {
+                "dataset": {
+                    "type": "imagenet",
+                    "root": str(tmp_path),
+                    "transforms": {"type": "imagenet256x256"},
+                },
+                "experiment": {"total_batch_size": 2},
+            }
+        )
+        trn, val = create_dataset(config)
+        assert len(trn) == 4 and len(val) == 4
+
+    def test_ffhq_fallback_split(self, tmp_path):
+        rng = np.random.RandomState(0)
+        for i in range(10):
+            Image.fromarray(rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+                tmp_path / f"{i:05d}.png"
+            )
+        cfg = {"transforms": {"type": "ffhq256x256"}}
+        trn = FFHQ(str(tmp_path), "train", create_transforms(cfg, "train"))
+        val = FFHQ(str(tmp_path), "val", create_transforms(cfg, "val"))
+        assert len(trn) == 9 and len(val) == 1
+
+
+REF_TOK_DIR = "/root/reference/rqvae/txtimg_datasets/tokenizers/pretrained"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TOK_DIR), reason="tokenizer assets absent")
+class TestCc3m:
+    def make_cc3m(self, tmp_path):
+        rng = np.random.RandomState(0)
+        (tmp_path / "imgs").mkdir()
+        lines = []
+        for i in range(6):
+            p = f"imgs/{i}.jpg"
+            Image.fromarray(rng.randint(0, 255, (80, 100, 3), dtype=np.uint8)).save(
+                tmp_path / p
+            )
+            lines.append(f"{p}\ta photo of thing number {i}")
+        (tmp_path / "train_list.txt").write_text("\n".join(lines) + "\n")
+        (tmp_path / "val_list.txt").write_text("\n".join(lines[:2]) + "\n")
+
+    def test_cc3m_items(self, tmp_path):
+        self.make_cc3m(tmp_path)
+        t = create_txtimg_transforms(
+            {"transforms": "dalle-vqvae", "image_resolution": 64}, "train"
+        )
+        ds = Cc3m(str(tmp_path), "train", "bpe16k_huggingface", t, context_length=32)
+        img, ids = ds[0]
+        assert img.shape == (64, 64, 3)
+        assert ids.shape == (32,) and ids.dtype == np.int32
+        pad_id = ds.tokenizer.token_to_id("[PAD]")
+        assert (ids == pad_id).sum() > 0  # short caption -> padded
+
+        txt_ds = Cc3mTextOnly(str(tmp_path), "val", "bpe16k_huggingface", None, context_length=32)
+        zero, ids2 = txt_ds[0]
+        assert zero == 0 and ids2.shape == (32,)
