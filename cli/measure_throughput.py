@@ -1,0 +1,170 @@
+"""Sampling throughput benchmark (reference measure_throughput/__main__.py).
+
+Builds an RQ-VAE (f32/f16/f8 geometry) + RQ-Transformer
+(huge/large/medium/small) from the same model zoo as the reference
+(:30-230) and times AR sampling + decode per sample over n_loop loops.
+
+Usage: python cli/measure_throughput.py f=32 model=huge d=4 c=16384 batch_size=100
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rqvae_tpu.models import create_rqvae
+from rqvae_tpu.models.rqtransformer import model as M
+from rqvae_tpu.models.rqtransformer import sampling as S
+from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+from rqvae_tpu.models.rqvae.model import RQVAE
+from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+DTYPE = jnp.bfloat16
+
+RQVAE_GEOM = {  # f -> (latent hw, ch_mult)  (reference rq_defaults.yaml)
+    32: (8, [1, 1, 2, 2, 4, 4]),
+    16: (16, [1, 1, 2, 2, 4]),
+    8: (32, [1, 2, 2, 4]),
+}
+
+TRANSFORMERS = {  # model -> (embed_dim, body_d>1, head_d>1, body_d1, n_head)
+    "huge": (1536, 42, 6, 48, 24),
+    "large": (1536, 24, 4, 28, 24),
+    "medium": (1280, 18, 4, 22, 20),
+    "small": (768, 24, 4, 28, 12),
+}
+
+
+def build(f, model_name, depth, codebook_size):
+    hw, ch_mult = RQVAE_GEOM[f]
+    arch_vq = dict(
+        type="rq-vae",
+        hparams=dict(
+            bottleneck_type="rq", embed_dim=256, n_embed=codebook_size,
+            latent_shape=[hw, hw, 256], code_shape=[hw, hw, depth],
+            shared_codebook=True, decay=0.99, restart_unused_codes=True,
+            loss_type="mse", latent_loss_weight=0.25,
+        ),
+        ddconfig=dict(
+            double_z=False, z_channels=256, resolution=256, in_channels=3,
+            out_ch=3, ch=128, ch_mult=ch_mult, num_res_blocks=2,
+            attn_resolutions=[8], dropout=0.0,
+        ),
+    )
+    vqvae = create_rqvae(arch_vq)
+
+    embed_dim, body_l, head_l, body_l_d1, n_head = TRANSFORMERS[model_name]
+    arch_t = dict(
+        type="rq-transformer",
+        vocab_size=codebook_size,
+        block_size=[hw, hw, depth],
+        embed_dim=embed_dim,
+        input_embed_dim=256,
+        shared_tok_emb=True, shared_cls_emb=True,
+        input_emb_vqvae=True, head_emb_vqvae=True, cumsum_depth_ctx=True,
+        vocab_size_cond=1000, block_size_cond=1,
+        body={"n_layer": body_l if depth > 1 else body_l_d1,
+              "block": {"n_head": n_head}},
+        head={"n_layer": head_l if depth > 1 else 1, "block": {"n_head": n_head}},
+    )
+    tconf = TransformerConfig.create(augment_arch_defaults(Config(arch_t)).to_dict())
+    return vqvae, tconf
+
+
+def main():
+    kv = dict(a.split("=", 1) for a in sys.argv[1:])
+    f = int(kv.get("f", 32))
+    model_name = kv.get("model", "huge")
+    depth = int(kv.get("d", 4))
+    codebook_size = int(kv.get("c", 16384))
+    batch_size = int(kv.get("batch_size", 50))
+    n_loop = int(kv.get("n_loop", 6))
+    warmup = int(kv.get("warmup", 1))
+    samples_per_loop = int(kv.get("samples_per_loop", 1000))
+
+    vqvae, tconf = build(f, model_name, depth, codebook_size)
+
+    @jax.jit
+    def init_all(k1, k2, k3):
+        x0 = jnp.zeros((1, 256, 256, 3), DTYPE)
+        vq_vars = vqvae.init({"params": k1, "quantizer": k2}, x0)
+        vq_vars = jax.tree.map(
+            lambda x: x.astype(DTYPE) if x.dtype == jnp.float32 else x, vq_vars
+        )
+        params = jax.tree.map(
+            lambda x: x.astype(DTYPE), M.init_transformer_params(k3, tconf)
+        )
+        return vq_vars, params
+
+    vq_vars, params = init_all(*jax.random.split(jax.random.PRNGKey(0), 3))
+    vq_state = vq_vars["codebook"]["state"]
+    vq_config = vqvae.quantizer_config
+
+    n_ar = sum(p.size for p in jax.tree.leaves(params))
+    n_vq = sum(p.size for p in jax.tree.leaves(vq_vars["params"]))
+    title = f"f{f}-{model_name}-d{depth}-c{codebook_size}-bs{batch_size}"
+    print(f"{title} | backend {jax.default_backend()}")
+    print(f"rqvae size: {n_vq/1e6:.1f}M, rqtransformer size: {n_ar/1e6:.1f}M")
+
+    cond = jnp.zeros((batch_size,), jnp.int32)
+
+    def sample_fn(key):
+        return S.sample(
+            params, tconf, key, batch_size, cond=cond,
+            vq_state=vq_state, vq_config=vq_config,
+            temperature=1.0, top_k=None, top_p=None, dtype=DTYPE,
+        )
+
+    chunk = min(batch_size, max(1, 3200 // (256 // f) ** 2 * 64 // 64))
+    chunk = max(1, batch_size // max(1, batch_size // 25))
+
+    @jax.jit
+    def decode_fn(codes):
+        n_chunks = max(1, codes.shape[0] // chunk)
+        chunks = codes.reshape(n_chunks, -1, *codes.shape[1:])
+        pix = jax.lax.map(
+            lambda c: jnp.clip(
+                0.5 * vqvae.apply(vq_vars, c, method=RQVAE.decode_code) + 0.5, 0, 1
+            ),
+            chunks,
+        )
+        return pix.reshape(-1, *pix.shape[2:])
+
+    n_iter = max(1, samples_per_loop // batch_size)
+    speeds = []
+    for loop_idx in range(n_loop):
+        t_ar = t_dec = 0.0
+        t0 = time.time()
+        for i in range(n_iter):
+            ta = time.time()
+            codes = sample_fn(jax.random.PRNGKey(loop_idx * 1000 + i))
+            _ = np.asarray(codes.sum())  # force completion (tunnel-safe)
+            tb = time.time()
+            pix = decode_fn(codes)
+            _ = np.asarray(pix[:, ::64, ::64].mean())
+            tc = time.time()
+            t_ar += tb - ta
+            t_dec += tc - tb
+        dt = time.time() - t0
+        speed = dt / (n_iter * batch_size) * 1000
+        print(
+            f"{loop_idx+1}/{n_loop} | {speed:.1f} ms/sample "
+            f"(ar: {t_ar/(n_iter*batch_size)*1000:.1f}, "
+            f"decode: {t_dec/(n_iter*batch_size)*1000:.1f})"
+        )
+        if loop_idx >= warmup:
+            speeds.append(speed)
+    print("-" * 80)
+    print(f"{title} | {sum(speeds)/len(speeds):.4f} ms/sample")
+
+
+if __name__ == "__main__":
+    main()

@@ -93,9 +93,14 @@ def _unit_normalize(x, eps=1e-10):
 
 def init_lpips(rng=None) -> dict:
     model = LPIPS()
-    x = jnp.zeros((1, 64, 64, 3))
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    return model.init(rng, x, x)
+
+    @jax.jit
+    def _init(rng):
+        x = jnp.zeros((1, 64, 64, 3))
+        return model.init(rng, x, x)
+
+    return _init(rng)
 
 
 def load_lpips_params(

