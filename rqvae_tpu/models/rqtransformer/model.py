@@ -234,14 +234,25 @@ def stack_step(
     cur_len: jax.Array,  # int32 scalar: tokens already in cache
     cfg: StackConfig,
 ) -> tuple[jax.Array, KVCache]:
+    """One cached decode/prefill step for the whole stacked layer scan.
+
+    HBM-traffic design: the layer scan never materializes an updated cache —
+    attention is computed as (query x existing cache) + (query x new in-chunk
+    rows) and only the tiny new K/V rows are emitted as scan outputs; the
+    stacked cache is updated with ONE dynamic_update_slice afterwards.
+    (Materializing per-layer updated caches costs ~2x the cache size in HBM
+    writes per step and dominated decode time.)
+    """
     B, S, C = x.shape
     n_head = cfg.n_head
     hs = C // n_head
     t_max = cache.k.shape[3]
 
-    key_pos = jax.lax.broadcasted_iota(jnp.int32, (S, t_max), 1)
-    query_pos = cur_len + jax.lax.broadcasted_iota(jnp.int32, (S, t_max), 0)
-    mask = key_pos <= query_pos  # causal over cache + in-chunk
+    # past mask: cache positions strictly before cur_len
+    past_mask = jax.lax.broadcasted_iota(jnp.int32, (1, t_max), 1) < cur_len  # [1,Tmax]
+    # in-chunk causal mask among the S new tokens
+    chunk_mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+    scale = 1.0 / np.sqrt(hs)
 
     def body(carry, inp):
         x, = carry
@@ -250,24 +261,35 @@ def stack_step(
         q = (h @ p["attn"]["wq"] + p["attn"]["bq"]).reshape(B, S, n_head, hs)
         k = (h @ p["attn"]["wk"] + p["attn"]["bk"]).reshape(B, S, n_head, hs)
         v = (h @ p["attn"]["wv"] + p["attn"]["bv"]).reshape(B, S, n_head, hs)
-        k = k.transpose(0, 2, 1, 3)  # [B, nh, S, hs]
-        v = v.transpose(0, 2, 1, 3)
-        k_l = jax.lax.dynamic_update_slice(k_l, k.astype(k_l.dtype), (0, 0, cur_len, 0))
-        v_l = jax.lax.dynamic_update_slice(v_l, v.astype(v_l.dtype), (0, 0, cur_len, 0))
-
         q = q.transpose(0, 2, 1, 3)  # [B, nh, S, hs]
-        att = jnp.einsum("bhsd,bhtd->bhst", q, k_l, preferred_element_type=jnp.float32)
-        att = att * (1.0 / np.sqrt(hs))
-        att = jnp.where(mask[None, None], att, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1).astype(v_l.dtype)
-        y = jnp.einsum("bhst,bhtd->bhsd", att, v_l)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        att_past = jnp.einsum(
+            "bhsd,bhtd->bhst", q, k_l, preferred_element_type=jnp.float32
+        ) * scale  # [B, nh, S, Tmax]
+        att_past = jnp.where(past_mask[None, None], att_past, -jnp.inf)
+        att_new = jnp.einsum(
+            "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
+        ) * scale  # [B, nh, S, S]
+        att_new = jnp.where(chunk_mask[None, None], att_new, -jnp.inf)
+
+        att = jax.nn.softmax(
+            jnp.concatenate([att_past, att_new], axis=-1), axis=-1
+        ).astype(v.dtype)
+        y = jnp.einsum("bhst,bhtd->bhsd", att[..., :t_max], v_l) + jnp.einsum(
+            "bhst,bhtd->bhsd", att[..., t_max:], v
+        )
         y = y.transpose(0, 2, 1, 3).reshape(B, S, C)
         x = x + (y @ p["attn"]["wo"] + p["attn"]["bo"])
         h2 = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"])
         m = gelu(h2 @ p["mlp"]["w1"] + p["mlp"]["b1"], cfg.gelu) @ p["mlp"]["w2"] + p["mlp"]["b2"]
-        return (x + m,), (k_l, v_l)
+        return (x + m,), (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
 
-    (out,), (new_k, new_v) = jax.lax.scan(body, (x,), (params, cache.k, cache.v))
+    (out,), (k_rows, v_rows) = jax.lax.scan(body, (x,), (params, cache.k, cache.v))
+    # single stacked cache write: [L, B, nh, S, hs] into [L, B, nh, Tmax, hs]
+    new_k = jax.lax.dynamic_update_slice(cache.k, k_rows, (0, 0, 0, cur_len, 0))
+    new_v = jax.lax.dynamic_update_slice(cache.v, v_rows, (0, 0, 0, cur_len, 0))
     return out, KVCache(k=new_k, v=new_v)
 
 
