@@ -29,10 +29,10 @@ from rqvae_tpu.utils.config import Config, augment_arch_defaults
 
 DTYPE = jnp.bfloat16
 
-RQVAE_GEOM = {  # f -> (latent hw, ch_mult)  (reference rq_defaults.yaml)
-    32: (8, [1, 1, 2, 2, 4, 4]),
-    16: (16, [1, 1, 2, 2, 4]),
-    8: (32, [1, 2, 2, 4]),
+RQVAE_GEOM = {  # f -> (latent hw, ch_mult, attn res)  (reference rq_defaults.yaml)
+    32: (8, [1, 1, 2, 2, 4, 4], 8),
+    16: (16, [1, 1, 2, 2, 4], 16),
+    8: (32, [1, 2, 2, 4], 32),
 }
 
 TRANSFORMERS = {  # model -> (embed_dim, body_d>1, head_d>1, body_d1, n_head)
@@ -44,7 +44,7 @@ TRANSFORMERS = {  # model -> (embed_dim, body_d>1, head_d>1, body_d1, n_head)
 
 
 def build(f, model_name, depth, codebook_size):
-    hw, ch_mult = RQVAE_GEOM[f]
+    hw, ch_mult, attn_res = RQVAE_GEOM[f]
     arch_vq = dict(
         type="rq-vae",
         hparams=dict(
@@ -56,7 +56,7 @@ def build(f, model_name, depth, codebook_size):
         ddconfig=dict(
             double_z=False, z_channels=256, resolution=256, in_channels=3,
             out_ch=3, ch=128, ch_mult=ch_mult, num_res_blocks=2,
-            attn_resolutions=[8], dropout=0.0,
+            attn_resolutions=[attn_res], dropout=0.0,
         ),
     )
     vqvae = create_rqvae(arch_vq)
@@ -123,7 +123,7 @@ def main():
             temperature=1.0, top_k=None, top_p=None, dtype=DTYPE,
         )
 
-    chunk = min(batch_size, max(1, 3200 // (256 // f) ** 2 * 64 // 64))
+    # decode in <=25-image chunks to bound 256x256 decoder activation memory
     chunk = max(1, batch_size // max(1, batch_size // 25))
 
     @jax.jit

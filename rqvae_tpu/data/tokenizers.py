@@ -39,6 +39,10 @@ def create_tokenizer(tok_name: str, vocab_dir: Optional[str] = None, lowercase=T
         CharBPETokenizer,
     )
 
+    if tok_name == "simple":
+        from rqvae_tpu.data.clip_tokenizer import SimpleTokenizer
+
+        return SimpleTokenizer(lowercase=lowercase)
     if tok_name == "bert_huggingface":
         return BertWordPieceTokenizer(
             vocab=_find("bert-base-uncased-vocab.txt", vocab_dir), lowercase=lowercase

@@ -233,6 +233,7 @@ def stack_step(
     cache: KVCache,
     cur_len: jax.Array,  # int32 scalar: tokens already in cache
     cfg: StackConfig,
+    window: Optional[int] = None,  # static: read only cache[:window] (KV BW)
 ) -> tuple[jax.Array, KVCache]:
     """One cached decode/prefill step for the whole stacked layer scan.
 
@@ -241,12 +242,15 @@ def stack_step(
     rows) and only the tiny new K/V rows are emitted as scan outputs; the
     stacked cache is updated with ONE dynamic_update_slice afterwards.
     (Materializing per-layer updated caches costs ~2x the cache size in HBM
-    writes per step and dominated decode time.)
+    writes per step and dominated decode time.) `window` statically bounds
+    how much of the cache attention reads — the sampler buckets its position
+    scan so early positions stream a fraction of the full cache.
     """
     B, S, C = x.shape
     n_head = cfg.n_head
     hs = C // n_head
-    t_max = cache.k.shape[3]
+    full_t_max = cache.k.shape[3]
+    t_max = min(window, full_t_max) if window is not None else full_t_max
 
     # past mask: cache positions strictly before cur_len
     past_mask = jax.lax.broadcasted_iota(jnp.int32, (1, t_max), 1) < cur_len  # [1,Tmax]
@@ -286,7 +290,9 @@ def stack_step(
         m = gelu(h2 @ p["mlp"]["w1"] + p["mlp"]["b1"], cfg.gelu) @ p["mlp"]["w2"] + p["mlp"]["b2"]
         return (x + m,), (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
 
-    (out,), (k_rows, v_rows) = jax.lax.scan(body, (x,), (params, cache.k, cache.v))
+    (out,), (k_rows, v_rows) = jax.lax.scan(
+        body, (x,), (params, cache.k[:, :, :, :t_max], cache.v[:, :, :, :t_max])
+    )
     # single stacked cache write: [L, B, nh, S, hs] into [L, B, nh, Tmax, hs]
     new_k = jax.lax.dynamic_update_slice(cache.k, k_rows, (0, 0, 0, cur_len, 0))
     new_v = jax.lax.dynamic_update_slice(cache.v, v_rows, (0, 0, 0, cur_len, 0))

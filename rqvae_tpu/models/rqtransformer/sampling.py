@@ -233,35 +233,49 @@ def sample(
         vq_config.embed_dim if (config.head_emb_vqvae and vq_config is not None) else 1
     )
 
-    def step(carry, inputs):
-        rng, spatial_ctx, body_kv = carry
-        t, pos_row = inputs
+    def make_step(window: int):
+        def step(carry, inputs):
+            rng, spatial_ctx, body_kv = carry
+            t, pos_row = inputs
 
-        depth_in = jnp.zeros((B, D, C), dtype)
-        depth_in = depth_in.at[:, 0, :].set(spatial_ctx + pos_d[0])
-        raw_cum = jnp.zeros((B, raw_dim), jnp.float32)
-        body_sum = jnp.zeros((B, C), dtype)
-        codes_t = []
+            raw_cum = jnp.zeros((B, raw_dim), jnp.float32)
+            body_sum = jnp.zeros((B, C), dtype)
+            codes_t = []
 
-        for d in range(D):
-            h = M.stack_forward(params["head"], depth_in, config.head)
-            logits = M.classifier_apply(params, config, h[:, d, :], depth_idx=d)
-            rng, sub = jax.random.split(rng)
-            code_d = sample_from_logits_fast(
-                sub, logits, temperature, top_k_list[d], top_p_list[d]
+            # incremental depth head: one row per depth step through a tiny
+            # D-slot KV cache (vs re-running the full D-row causal forward
+            # every step — 4x the head compute at D=4)
+            head_kv = M.init_kv_cache(config.head, B, D, dtype)
+            row = (spatial_ctx + pos_d[0])[:, None, :]
+            for d in range(D):
+                h, head_kv = M.stack_step(
+                    params["head"], row, head_kv, jnp.int32(d), config.head
+                )
+                logits = M.classifier_apply(params, config, h[:, 0, :], depth_idx=d)
+                rng, sub = jax.random.split(rng)
+                code_d = sample_from_logits_fast(
+                    sub, logits, temperature, top_k_list[d], top_p_list[d]
+                )
+                codes_t.append(code_d)
+                body_sum = body_sum + body_emb_of_code(d, code_d)
+                if d < D - 1:
+                    raw_cum, r = head_row_of_prefix(d, raw_cum, code_d)
+                    row = (r + pos_d[d + 1])[:, None, :]
+
+            u = (body_sum + pos_row)[:, None, :]  # [B, 1, C]
+            h, body_kv = M.stack_step(
+                params["body"], u, body_kv, cond_len + t, config.body, window=window
             )
-            codes_t.append(code_d)
-            body_sum = body_sum + body_emb_of_code(d, code_d)
-            if d < D - 1:
-                raw_cum, row = head_row_of_prefix(d, raw_cum, code_d)
-                depth_in = depth_in.at[:, d + 1, :].set(row + pos_d[d + 1])
+            return (rng, h[:, 0, :], body_kv), jnp.stack(codes_t, axis=-1)
 
-        u = (body_sum + pos_row)[:, None, :]  # [B, 1, C]
-        h, body_kv = M.stack_step(params["body"], u, body_kv, cond_len + t, config.body)
-        return (rng, h[:, 0, :], body_kv), jnp.stack(codes_t, axis=-1)
+        return step
 
+    # NOTE: a bucketed variant (windowed KV reads growing per 16-position
+    # bucket) was measured SLOWER on v5e than one full-window scan (17.8 vs
+    # 15.8 ms/sample at bs100) — XLA pipelines the single-scan cache reads
+    # better than four separate scan bodies. Keeping the single scan.
     (_, _, _), codes = jax.lax.scan(
-        step,
+        make_step(None),
         (rng, spatial_ctx, body_kv),
         (jnp.arange(HW, dtype=jnp.int32), pos_hw),
     )

@@ -176,3 +176,34 @@ class TestCc3m:
         txt_ds = Cc3mTextOnly(str(tmp_path), "val", "bpe16k_huggingface", None, context_length=32)
         zero, ids2 = txt_ds[0]
         assert zero == 0 and ids2.shape == (32,)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TOK_DIR), reason="tokenizer assets absent")
+class TestSimpleTokenizer:
+    def test_roundtrip_and_padding(self):
+        from rqvae_tpu.data.clip_tokenizer import SimpleTokenizer
+
+        tok = SimpleTokenizer()
+        enc = tok.encode("a photo of a cat")
+        # sot ... eot structure
+        assert enc.ids[0] == tok.sot and tok.eot in enc.ids
+        assert tok.decode(enc.ids) == "a photo of a cat"
+
+        tok.enable_padding(length=16, pad_id=0)
+        tok.enable_truncation(max_length=16)
+        enc = tok.encode("a photo of a cat")
+        assert len(enc.ids) == 16
+        long = tok.encode("word " * 50)
+        assert len(long.ids) == 16
+
+    def test_vocab_size_is_clip_standard(self):
+        from rqvae_tpu.data.clip_tokenizer import SimpleTokenizer
+
+        tok = SimpleTokenizer()
+        assert len(tok.encoder) == 49408  # 256*2 + 48894 merges + 2 specials
+
+    def test_registry(self):
+        from rqvae_tpu.data.tokenizers import create_tokenizer
+
+        tok = create_tokenizer("simple")
+        assert tok.encode("hello world").ids[0] == tok.sot

@@ -406,3 +406,24 @@ def test_fast_filtering_matches_reference_distribution():
         )
         assert out.shape == (16,)
         assert (np.asarray(p_ref)[np.arange(16), np.asarray(out)] > 0).all()
+
+
+def test_incremental_head_equals_full_forward():
+    """stack_step-based incremental decode over D rows must equal the full
+    causal stack_forward row-by-row (the sampler's head path)."""
+    from rqvae_tpu.models.rqtransformer.config import StackConfig
+
+    cfg = StackConfig(n_layer=3, n_head=4, embed_dim=32, resid_pdrop=0.0)
+    params = M.init_stack_params(jax.random.PRNGKey(0), cfg)
+    B, D = 2, 4
+    rows = jax.random.normal(jax.random.PRNGKey(1), (B, D, 32))
+
+    full = M.stack_forward(params, rows, cfg)  # [B, D, C]
+
+    cache = M.init_kv_cache(cfg, B, D)
+    outs = []
+    for d in range(D):
+        h, cache = M.stack_step(params, rows[:, d : d + 1], cache, jnp.int32(d), cfg)
+        outs.append(h[:, 0])
+    inc = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full), rtol=1e-4, atol=1e-5)
