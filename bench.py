@@ -74,6 +74,9 @@ def build_models():
 
     t0 = time.time()
     params = jax.tree.map(lambda x: x.block_until_ready(), _init_t(jax.random.PRNGKey(0)))
+    if os.environ.get("BENCH_INT8"):
+        params = jax.jit(M.quantize_transformer_params)(params)
+        print("# int8 weight-only quantization ON", file=sys.stderr, flush=True)
     print(f"# transformer init: {time.time()-t0:.1f} s", file=sys.stderr, flush=True)
 
     dd = DDConfig.create(

@@ -120,6 +120,53 @@ def tok_emb_offsets(config: TransformerConfig) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# int8 weight-only quantization (decode is weight-bandwidth bound: int8
+# halves HBM traffic; dequantize fuses into the matmul so MXU still runs bf16)
+# ---------------------------------------------------------------------------
+
+
+class QuantizedWeight(NamedTuple):
+    q: jax.Array  # int8, same shape as the original weight
+    scale: jax.Array  # per-output-channel scale [..., 1, out]
+
+
+def _quantize_weight(w: jax.Array) -> QuantizedWeight:
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return QuantizedWeight(q=q, scale=scale.astype(jnp.bfloat16))
+
+
+def _mm(h: jax.Array, w) -> jax.Array:
+    """h @ w for plain or int8-quantized weights ([L-stacked or not])."""
+    if isinstance(w, QuantizedWeight):
+        return (h @ w.q.astype(h.dtype)) * w.scale.astype(h.dtype)
+    return h @ w
+
+
+def quantize_stack_params(stack: dict) -> dict:
+    out = {k: dict(v) for k, v in stack.items()}
+    for name in ("wq", "wk", "wv", "wo"):
+        out["attn"][name] = _quantize_weight(stack["attn"][name])
+    for name in ("w1", "w2"):
+        out["mlp"][name] = _quantize_weight(stack["mlp"][name])
+    return out
+
+
+def quantize_transformer_params(params: dict) -> dict:
+    """Weight-only int8 for the decode-heavy tensors: body/head stacks and
+    the classifier projection. Embeddings, norms, biases, mlps that feed
+    embeddings stay bf16/fp32."""
+    out = dict(params)
+    out["body"] = quantize_stack_params(params["body"])
+    out["head"] = quantize_stack_params(params["head"])
+    cls = dict(params["classifier"])
+    cls["kernel"] = _quantize_weight(params["classifier"]["kernel"])
+    out["classifier"] = cls
+    return out
+
+
+# ---------------------------------------------------------------------------
 # primitives
 # ---------------------------------------------------------------------------
 
@@ -168,17 +215,17 @@ def _attention(q, k, v, n_head, mask):
 
 def _layer_body(x, p, cfg: StackConfig, mask, rng, deterministic):
     h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"])
-    q = h @ p["attn"]["wq"] + p["attn"]["bq"]
-    k = h @ p["attn"]["wk"] + p["attn"]["bk"]
-    v = h @ p["attn"]["wv"] + p["attn"]["bv"]
+    q = _mm(h, p["attn"]["wq"]) + p["attn"]["bq"]
+    k = _mm(h, p["attn"]["wk"]) + p["attn"]["bk"]
+    v = _mm(h, p["attn"]["wv"]) + p["attn"]["bv"]
     y = _attention(q, k, v, cfg.n_head, mask)
-    y = y @ p["attn"]["wo"] + p["attn"]["bo"]
+    y = _mm(y, p["attn"]["wo"]) + p["attn"]["bo"]
     if rng is not None:
         rng, r1, r2 = jax.random.split(rng, 3)
         y = _dropout(y, cfg.resid_pdrop, r1, deterministic)
     x = x + y
     h2 = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"])
-    m = gelu(h2 @ p["mlp"]["w1"] + p["mlp"]["b1"], cfg.gelu) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+    m = _mm(gelu(_mm(h2, p["mlp"]["w1"]) + p["mlp"]["b1"], cfg.gelu), p["mlp"]["w2"]) + p["mlp"]["b2"]
     if rng is not None:
         m = _dropout(m, cfg.resid_pdrop, r2, deterministic)
     return x + m
@@ -215,15 +262,19 @@ def stack_forward(
 
 
 class KVCache(NamedTuple):
-    """Fixed-size KV cache: k/v [n_layer, B, n_head, T_max, head_size]."""
+    """Fixed-size KV cache: k/v [n_layer, B, T_max, C].
+
+    The head dimension stays MERGED in the last axis: TPU pads minor dims to
+    128 lanes, so a [..., T, head_size=64] layout doubles every HBM cache
+    touch. [B, T, C] keeps reads/writes unpadded (measured -31% per decode
+    step on the 1.4B body at batch 100)."""
 
     k: jax.Array
     v: jax.Array
 
 
 def init_kv_cache(cfg: StackConfig, batch: int, t_max: int, dtype=jnp.float32) -> KVCache:
-    hs = cfg.embed_dim // cfg.n_head
-    shape = (cfg.n_layer, batch, cfg.n_head, t_max, hs)
+    shape = (cfg.n_layer, batch, t_max, cfg.embed_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -249,53 +300,79 @@ def stack_step(
     B, S, C = x.shape
     n_head = cfg.n_head
     hs = C // n_head
-    full_t_max = cache.k.shape[3]
+    full_t_max = cache.k.shape[2]
     t_max = min(window, full_t_max) if window is not None else full_t_max
-
-    # past mask: cache positions strictly before cur_len
-    past_mask = jax.lax.broadcasted_iota(jnp.int32, (1, t_max), 1) < cur_len  # [1,Tmax]
-    # in-chunk causal mask among the S new tokens
-    chunk_mask = jnp.tril(jnp.ones((S, S), dtype=bool))
     scale = 1.0 / np.sqrt(hs)
 
-    def body(carry, inp):
-        x, = carry
-        p, k_l, v_l = inp
-        h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"])
-        q = (h @ p["attn"]["wq"] + p["attn"]["bq"]).reshape(B, S, n_head, hs)
-        k = (h @ p["attn"]["wk"] + p["attn"]["bk"]).reshape(B, S, n_head, hs)
-        v = (h @ p["attn"]["wv"] + p["attn"]["bv"]).reshape(B, S, n_head, hs)
-        q = q.transpose(0, 2, 1, 3)  # [B, nh, S, hs]
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
+    # past mask: cache positions strictly before cur_len
+    past_mask_t1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1) < cur_len
+    )  # [1, Tmax, 1] for the S=1 VPU path
+    past_mask = past_mask_t1[..., 0][None]  # [1, 1, Tmax] for the matmul path
+    chunk_mask = jnp.tril(jnp.ones((S, S), dtype=bool))
 
+    def attention_decode(q, k, v, k_l, v_l):
+        """S=1 path: per-head scores via broadcast-mul + segment reduction on
+        the unpadded [B, T, C] cache (all VPU, no head transposes)."""
+        prod = (k_l * q).reshape(B, t_max, n_head, hs)
+        s_past = jnp.sum(prod, axis=-1, dtype=jnp.float32) * scale  # [B,T,nh]
+        s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
+        s_self = (
+            jnp.sum((k * q).reshape(B, 1, n_head, hs), axis=-1, dtype=jnp.float32)
+            * scale
+        )
+        s = jnp.concatenate([s_past, s_self], axis=1)  # [B, T+1, nh]
+        p_att = jax.nn.softmax(s, axis=1)
+        w_past = p_att[:, :t_max].astype(v_l.dtype)
+        w_self = p_att[:, t_max:].astype(v.dtype)
+        y = jnp.sum(v_l.reshape(B, t_max, n_head, hs) * w_past[..., None], axis=1)
+        y = y + (v.reshape(B, 1, n_head, hs) * w_self[..., None])[:, 0]
+        return y.reshape(B, 1, C)
+
+    def attention_prefill(q, k, v, k_l, v_l):
+        """S>1 path: standard batched-matmul attention over head views."""
+        q4 = q.reshape(B, S, n_head, hs)
+        k4 = k.reshape(B, S, n_head, hs)
+        v4 = v.reshape(B, S, n_head, hs)
+        kc = k_l.reshape(B, t_max, n_head, hs)
+        vc = v_l.reshape(B, t_max, n_head, hs)
         att_past = jnp.einsum(
-            "bhsd,bhtd->bhst", q, k_l, preferred_element_type=jnp.float32
-        ) * scale  # [B, nh, S, Tmax]
-        att_past = jnp.where(past_mask[None, None], att_past, -jnp.inf)
+            "bshd,bthd->bhst", q4, kc, preferred_element_type=jnp.float32
+        ) * scale
+        att_past = jnp.where(past_mask[:, None], att_past, -jnp.inf)
         att_new = jnp.einsum(
-            "bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32
-        ) * scale  # [B, nh, S, S]
+            "bshd,bthd->bhst", q4, k4, preferred_element_type=jnp.float32
+        ) * scale
         att_new = jnp.where(chunk_mask[None, None], att_new, -jnp.inf)
-
         att = jax.nn.softmax(
             jnp.concatenate([att_past, att_new], axis=-1), axis=-1
         ).astype(v.dtype)
-        y = jnp.einsum("bhst,bhtd->bhsd", att[..., :t_max], v_l) + jnp.einsum(
-            "bhst,bhtd->bhsd", att[..., t_max:], v
+        y = jnp.einsum("bhst,bthd->bshd", att[..., :t_max], vc) + jnp.einsum(
+            "bhst,bthd->bshd", att[..., t_max:], v4
         )
-        y = y.transpose(0, 2, 1, 3).reshape(B, S, C)
-        x = x + (y @ p["attn"]["wo"] + p["attn"]["bo"])
+        return y.reshape(B, S, C)
+
+    attention = attention_decode if S == 1 else attention_prefill
+
+    def body(carry, inp):
+        x, = carry
+        p, k_l, v_l = inp  # k_l/v_l: [B, Tmax, C]
+        h = layer_norm(x, p["ln1"]["scale"], p["ln1"]["bias"])
+        q = _mm(h, p["attn"]["wq"]) + p["attn"]["bq"]  # [B, S, C]
+        k = _mm(h, p["attn"]["wk"]) + p["attn"]["bk"]
+        v = _mm(h, p["attn"]["wv"]) + p["attn"]["bv"]
+        y = attention(q, k, v, k_l, v_l)
+        x = x + (_mm(y, p["attn"]["wo"]) + p["attn"]["bo"])
         h2 = layer_norm(x, p["ln2"]["scale"], p["ln2"]["bias"])
-        m = gelu(h2 @ p["mlp"]["w1"] + p["mlp"]["b1"], cfg.gelu) @ p["mlp"]["w2"] + p["mlp"]["b2"]
+        m = _mm(gelu(_mm(h2, p["mlp"]["w1"]) + p["mlp"]["b1"], cfg.gelu), p["mlp"]["w2"]) + p["mlp"]["b2"]
         return (x + m,), (k.astype(cache.k.dtype), v.astype(cache.v.dtype))
 
     (out,), (k_rows, v_rows) = jax.lax.scan(
-        body, (x,), (params, cache.k[:, :, :, :t_max], cache.v[:, :, :, :t_max])
+        body, (x,), (params, cache.k[:, :, :t_max], cache.v[:, :, :t_max])
     )
-    # single stacked cache write: [L, B, nh, S, hs] into [L, B, nh, Tmax, hs]
-    new_k = jax.lax.dynamic_update_slice(cache.k, k_rows, (0, 0, 0, cur_len, 0))
-    new_v = jax.lax.dynamic_update_slice(cache.v, v_rows, (0, 0, 0, cur_len, 0))
+    # single stacked cache write: [L, B, S, C] into [L, B, Tmax, C]
+    new_k = jax.lax.dynamic_update_slice(cache.k, k_rows, (0, 0, cur_len, 0))
+    new_v = jax.lax.dynamic_update_slice(cache.v, v_rows, (0, 0, cur_len, 0))
     return out, KVCache(k=new_k, v=new_v)
 
 
@@ -331,14 +408,26 @@ def classifier_apply(params, config: TransformerConfig, h: jax.Array, depth_idx=
     cls = params["classifier"]
     h = layer_norm(h, cls["ln_scale"], cls["ln_bias"])
     if config.shared_cls_emb:
-        logits = h @ cls["kernel"] + cls["bias"]
+        logits = _mm(h, cls["kernel"]) + cls["bias"]
         if depth_idx is None:
             return apply_logit_mask(logits, config)
         return logits
     if depth_idx is None:
-        logits = jnp.einsum("...dc,dcv->...dv", h, cls["kernel"]) + cls["bias"]
+        w = cls["kernel"]
+        if isinstance(w, QuantizedWeight):
+            logits = (
+                jnp.einsum("...dc,dcv->...dv", h, w.q.astype(h.dtype)) * w.scale.astype(h.dtype)
+                + cls["bias"]
+            )
+        else:
+            logits = jnp.einsum("...dc,dcv->...dv", h, w) + cls["bias"]
         return apply_logit_mask(logits, config)
-    logits = h @ cls["kernel"][depth_idx] + cls["bias"][depth_idx]
+    w = cls["kernel"]
+    if isinstance(w, QuantizedWeight):
+        w = QuantizedWeight(q=w.q[depth_idx], scale=w.scale[depth_idx])
+        logits = _mm(h, w) + cls["bias"][depth_idx]
+    else:
+        logits = h @ w[depth_idx] + cls["bias"][depth_idx]
     if config.heterogeneous_vocab:
         logits = jnp.where(
             jnp.arange(config.vocab_size_max) < config.vocab_size[depth_idx],

@@ -427,3 +427,31 @@ def test_incremental_head_equals_full_forward():
         outs.append(h[:, 0])
     inc = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(inc), np.asarray(full), rtol=1e-4, atol=1e-5)
+
+
+def test_int8_weight_only_quantization_accuracy():
+    """Quantized forward must track the fp32 forward closely (weight-only
+    per-channel int8), and the quantized sampler must run."""
+    _, config, params, _, vq_state, vq_config = build_pair(ARCH_VQVAE)
+    qparams = M.quantize_transformer_params(params)
+
+    B = 2
+    rng = np.random.RandomState(11)
+    H, W, D = config.block_size
+    xs = rng.randint(0, min(config.vocab_size), (B, H, W, D))
+    cond = rng.randint(0, config.vocab_size_cond, (B, 1))
+    xs_emb = rq.embed_code_with_depth(
+        jnp.asarray(xs.reshape(B, H * W, D)), vq_state, vq_config
+    )
+    ref = np.asarray(M.forward(params, config, jnp.asarray(xs), jnp.asarray(cond), xs_emb))
+    qq = np.asarray(M.forward(qparams, config, jnp.asarray(xs), jnp.asarray(cond), xs_emb))
+    # logits agree to ~1% of their dynamic range
+    scale = np.abs(ref).max()
+    assert np.abs(qq - ref).max() < 0.02 * scale
+
+    codes = S.sample(
+        qparams, config, jax.random.PRNGKey(0), 2,
+        cond=jnp.asarray([1, 2]), vq_state=vq_state, vq_config=vq_config,
+        top_k=8, top_p=0.9,
+    )
+    assert codes.shape == (2, H, W, D)
