@@ -21,6 +21,20 @@ from rqvae_tpu.models.rqvae.model import RQVAE, RQVAEHParams
 from rqvae_tpu.models.rqvae.modules import DDConfig
 
 
+def create_model(arch_config, ema: bool = False):
+    """Reference-compatible dispatch (models/__init__.py:20-37): returns
+    (model, ema_model_or_None). Stage-1 -> (RQVAE flax module, None|"ema"
+    marker: EMA params live in the trainer state); stage-2 ->
+    (TransformerConfig, ...) since the transformer is functional."""
+    if arch_config["type"] == "rq-vae":
+        model = create_rqvae(arch_config)
+        return model, (model if ema else None)
+    elif arch_config["type"] == "rq-transformer":
+        config = create_rqtransformer(arch_config)
+        return config, (config if ema else None)
+    raise ValueError(f"{arch_config['type']} is not supported")
+
+
 def create_rqvae(arch_config, use_kernel: Optional[bool] = None) -> RQVAE:
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"

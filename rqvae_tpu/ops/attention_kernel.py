@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: fused single-token (decode) multi-head attention.
+
+For the AR sampling hot loop: given the new token's q/k/v [B, C] and the
+layer's KV cache [B, T, C] (heads merged in the last dim — unpadded layout),
+computes softmax(q.k / sqrt(hs)) . v in ONE kernel: no head-split relayouts,
+no [B, nh, T, hs] intermediates in HBM, fp32 score/softmax accumulation in
+VMEM. Head boundaries are handled with masked lane reductions (hs=64 packs
+two heads per 128-lane register; general hs supported via the segment mask).
+
+Returns y [B, C]. The new token attends cache positions < cur_len plus
+itself (the sampler writes k/v into the cache separately).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decode_attn_kernel(
+    cur_len_ref,  # SMEM [1]
+    q_ref,  # [BT, C]
+    k_new_ref,  # [BT, C]
+    v_new_ref,  # [BT, C]
+    kc_ref,  # [BT, T, C]
+    vc_ref,  # [BT, T, C]
+    seg_ref,  # [C, n_head] constant 0/1 head-segment matrix
+    y_ref,  # [BT, C]
+    *,
+    n_head: int,
+    t_max: int,
+):
+    """Head segmentation via constant 0/1 matmuls: Mosaic cannot split the
+    1536-lane dim into (n_head, hs) vectors, but prod @ Seg[C, nh] (MXU)
+    computes the per-head partial sums, and w @ Seg^T broadcasts the softmax
+    weights back onto the lanes."""
+    cur_len = cur_len_ref[0]
+    BT, C = q_ref.shape
+    hs = C // n_head
+    scale = 1.0 / np.sqrt(hs)
+    seg = seg_ref[:]  # [C, nh] fp32
+
+    q = q_ref[:].astype(jnp.float32)  # [BT, C]
+    kc = kc_ref[:].astype(jnp.float32)  # [BT, T, C]
+
+    prod = (kc * q[:, None, :]).reshape(BT * t_max, C)
+    s_past = (
+        jnp.dot(prod, seg, preferred_element_type=jnp.float32).reshape(
+            BT, t_max, n_head
+        )
+        * scale
+    )
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1)
+    s_past = jnp.where(t_ids < cur_len, s_past, -jnp.inf)
+
+    k_new = k_new_ref[:].astype(jnp.float32)
+    s_self = (
+        jnp.dot(k_new * q, seg, preferred_element_type=jnp.float32)[:, None, :]
+        * scale
+    )  # [BT, 1, nh]
+
+    m = jnp.maximum(jnp.max(s_past, axis=1, keepdims=True), s_self)
+    e_past = jnp.exp(s_past - m)
+    e_self = jnp.exp(s_self - m)
+    denom = jnp.sum(e_past, axis=1, keepdims=True) + e_self
+    w_past = e_past / denom  # [BT, T, nh]
+    w_self = e_self / denom  # [BT, 1, nh]
+
+    # broadcast weights back to lanes and reduce over T
+    w_lanes = jnp.dot(
+        w_past.reshape(BT * t_max, n_head), seg.T, preferred_element_type=jnp.float32
+    ).reshape(BT, t_max, C)
+    vc = vc_ref[:].astype(jnp.float32)
+    y = jnp.sum(vc * w_lanes, axis=1)  # [BT, C]
+    ws_lanes = jnp.dot(
+        w_self[:, 0, :], seg.T, preferred_element_type=jnp.float32
+    )  # [BT, C]
+    y = y + v_new_ref[:].astype(jnp.float32) * ws_lanes
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "b_tile", "interpret")
+)
+def decode_attention(
+    q: jax.Array,  # [B, C]
+    k_new: jax.Array,  # [B, C]
+    v_new: jax.Array,  # [B, C]
+    k_cache: jax.Array,  # [B, T, C]
+    v_cache: jax.Array,  # [B, T, C]
+    cur_len: jax.Array,  # int32 scalar
+    n_head: int,
+    b_tile: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    B, C = q.shape
+    T = k_cache.shape[1]
+    pad_b = (-B) % b_tile
+    if pad_b:
+        q = jnp.pad(q, ((0, pad_b), (0, 0)))
+        k_new = jnp.pad(k_new, ((0, pad_b), (0, 0)))
+        v_new = jnp.pad(v_new, ((0, pad_b), (0, 0)))
+        k_cache = jnp.pad(k_cache, ((0, pad_b), (0, 0), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, pad_b), (0, 0), (0, 0)))
+    Bp = B + pad_b
+
+    hs = C // n_head
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0) // hs
+        == jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 1)
+    ).astype(jnp.float32)
+
+    grid = (Bp // b_tile,)
+    kernel = functools.partial(_decode_attn_kernel, n_head=n_head, t_max=T)
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, T, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, T, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((C, n_head), lambda i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, C), q.dtype),
+        interpret=interpret,
+    )(cur_len.reshape(1), q, k_new, v_new, k_cache, v_cache, seg)
+    return y[:B]
