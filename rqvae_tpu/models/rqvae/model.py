@@ -99,6 +99,11 @@ class RQVAE(nn.Module):
         return self.decoder(z, deterministic)
 
     def __call__(self, xs, training: bool = False):
+        z_q, quant_loss, codes = self._encode_quantize(xs, training)
+        out = self.decode(z_q, deterministic=not training)
+        return out, quant_loss, codes
+
+    def _encode_quantize(self, xs, training: bool):
         z_e = self.encode(xs, deterministic=not training)
         rng = self.make_rng("quantizer") if (
             training and self.hparams.restart_unused_codes
@@ -114,8 +119,17 @@ class RQVAE(nn.Module):
         )
         if training and not self.is_initializing():
             self.codebook.value = new_state
-        out = self.decode(z_q, deterministic=not training)
-        return out, quant_loss, codes
+        return z_q, quant_loss, codes
+
+    def forward_pre(self, xs, training: bool = False):
+        """Forward stopping BEFORE the decoder's final norm/act/conv
+        (reference give_pre_end, modules.py:196-197). The trainer finishes
+        with modules.decoder_tail so the adaptive-GAN-weight grads only
+        traverse the tail."""
+        z_q, quant_loss, codes = self._encode_quantize(xs, training)
+        z = self.post_quant_conv(z_q)
+        h_pre = self.decoder(z, not training, True)  # give_pre_end
+        return h_pre, quant_loss, codes
 
     # ---- auxiliary APIs (reference rqvae.py:91-168) ----------------------
 

@@ -216,7 +216,7 @@ class Decoder(nn.Module):
     checkpointing: bool = False
 
     @nn.compact
-    def __call__(self, z, deterministic: bool = True):
+    def __call__(self, z, deterministic: bool = True, give_pre_end: bool = False):
         cfg = self.config
         num_resolutions = len(cfg.ch_mult)
         Block = nn.remat(ResnetBlock, static_argnums=(2,)) if self.checkpointing else ResnetBlock
@@ -250,7 +250,38 @@ class Decoder(nn.Module):
                 )(h)
                 curr_res *= 2
 
+        pre_end = h  # reference give_pre_end (modules.py:196-197)
         h = GroupNorm32(name="norm_out")(h)
         h = swish(h)
         h = nn.Conv(cfg.out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        if give_pre_end:
+            return pre_end
         return h
+
+
+def decoder_tail(decoder_params: dict, h: jax.Array, out_ch: int) -> jax.Array:
+    """norm_out -> swish -> conv_out applied from raw decoder params.
+
+    Lets the stage-1 trainer compute the adaptive-GAN-weight gradients
+    (d nll/d conv_out.kernel, d g/d conv_out.kernel) through ONLY this tail +
+    the losses, matching the reference's autograd.grad(nll, last_layer)
+    pruning (trainer_rqvae.py:31-37) without a second full model forward."""
+    groups = min(32, h.shape[-1])
+    x = h.astype(jnp.float32)
+    np_ = decoder_params["norm_out"]["norm"]
+    # GroupNorm over (H, W, group channels)
+    B, H, W, C = x.shape
+    xg = x.reshape(B, H, W, groups, C // groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + 1e-6)
+    x = xg.reshape(B, H, W, C) * np_["scale"] + np_["bias"]
+    x = swish(x).astype(h.dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        decoder_params["conv_out"]["kernel"].astype(h.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + decoder_params["conv_out"]["bias"]

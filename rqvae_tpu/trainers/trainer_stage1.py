@@ -111,24 +111,7 @@ def make_train_step(
     g_loss_fn = gan_losses.G_LOSSES[gan_cfg.gen_loss]
     p_weight = gan_cfg.perceptual_weight
 
-    def forward_losses(params, codebook, xs, rng):
-        """Generator forward: returns (everything the update needs)."""
-        out, quant_loss, codes, new_codebook = _apply_train(
-            model, params, codebook, xs, rng
-        )
-        losses = model.compute_loss(out, quant_loss, codes, xs=xs)
-        loss_pcpt = lpips.apply(lpips_vars, xs, out)
-        return out, losses, loss_pcpt, codes, new_codebook
-
-    def _apply_train(model, params, codebook, xs, rng):
-        (out, quant_loss, codes), mutated = model.apply(
-            {"params": params, "codebook": codebook},
-            xs,
-            training=True,
-            rngs={"quantizer": rng, "dropout": jax.random.fold_in(rng, 1)},
-            mutable=["codebook"],
-        )
-        return out, quant_loss, codes, mutated["codebook"]
+    from rqvae_tpu.models.rqvae.modules import decoder_tail
 
     def disc_apply(disc_params, batch_stats, x, update_stats: bool):
         variables = {"params": disc_params, "batch_stats": batch_stats}
@@ -137,82 +120,89 @@ def make_train_step(
         logits, mutated = disc.apply(variables, x, train=True, mutable=["batch_stats"])
         return logits, (mutated["batch_stats"] if update_stats else batch_stats)
 
-    def gen_loss_total(params, codebook, xs, rng, disc_params, batch_stats):
-        out, losses, loss_pcpt, codes, new_codebook = forward_losses(
-            params, codebook, xs, rng
-        )
-        aux = {
-            "out": out,
-            "codes": codes,
-            "new_codebook": new_codebook,
-            "loss_recon": losses["loss_recon"],
-            "loss_latent": losses["loss_latent"],
-            "loss_pcpt": loss_pcpt,
-        }
-        loss_rec_lat = losses["loss_total"]
-
-        if use_discriminator:
-            logits_fake, _ = disc_apply(disc_params, batch_stats, out, False)
-            loss_gen = g_loss_fn(logits_fake)
-            # adaptive weight: grads of nll / g wrt ONLY the last conv kernel
-            # (computed outside; here return pieces)
-            aux["loss_gen"] = loss_gen
-        else:
-            aux["loss_gen"] = jnp.zeros(())
-        return loss_rec_lat, aux
-
-    def last_layer_grads(params, codebook, xs, rng, disc_params, batch_stats):
-        """||d nll/d last||, ||d g/d last|| with nll = recon + p*pcpt."""
-        last = _tree_get(params, LAST_LAYER_PATH)
-
-        def split_losses(last_kernel):
-            p = _tree_set_nested(params, LAST_LAYER_PATH, last_kernel)
-            out, losses, loss_pcpt, _, _ = forward_losses(p, codebook, xs, rng)
-            nll = losses["loss_recon"] + p_weight * loss_pcpt
-            logits_fake, _ = disc_apply(disc_params, batch_stats, out, False)
-            g = g_loss_fn(logits_fake)
-            return jnp.stack([nll, g])
-
-        jac = jax.jacrev(split_losses)(last)  # [2, *last.shape]
-        nll_norm = jnp.linalg.norm(jac[0].reshape(-1))
-        g_norm = jnp.linalg.norm(jac[1].reshape(-1))
-        d_weight = nll_norm / (g_norm + 1e-4)
-        return jnp.clip(d_weight, 0.0, 1e4)
-
-    def _tree_set_nested(tree, path, value):
-        def rec(node, i):
-            node = dict(node)
-            if i == len(path) - 1:
-                node[path[i]] = value
-            else:
-                node[path[i]] = rec(node[path[i]], i + 1)
-            return node
-
-        return rec(tree, 0)
+    def recon_loss(out, xs):
+        if model.hparams.loss_type == "mse":
+            return jnp.mean(jnp.square(out - xs))
+        return jnp.mean(jnp.abs(out - xs))
 
     def train_step(state: Stage1State, batch: dict, rng: jax.Array):
         xs = batch["images"]
         rng = jax.random.fold_in(rng, state.step)
-
-        if use_discriminator:
-            g_weight = last_layer_grads(
-                state.params, state.codebook, xs, rng,
-                state.disc_params, state.disc_batch_stats,
-            )
-            g_weight = jax.lax.stop_gradient(g_weight)
-        else:
-            g_weight = jnp.zeros(())
+        out_ch = xs.shape[-1]
 
         def total_gen(params):
-            loss_rec_lat, aux = gen_loss_total(
-                params, state.codebook, xs, rng,
-                state.disc_params, state.disc_batch_stats,
+            """ONE full forward; the adaptive weight's two extra gradients
+            only traverse the decoder tail + losses (AD-pruned exactly like
+            the reference's autograd.grad(nll/g, last_layer),
+            trainer_rqvae.py:31-37)."""
+            (h_pre, quant_loss, codes), mutated = model.apply(
+                {"params": params, "codebook": state.codebook},
+                xs,
+                training=True,
+                method=type(model).forward_pre,
+                rngs={"quantizer": rng, "dropout": jax.random.fold_in(rng, 1)},
+                mutable=["codebook"],
             )
+            dec_params = params["decoder"]
+            out = decoder_tail(dec_params, h_pre, out_ch)
+
+            loss_recon = recon_loss(out, xs)
+            loss_latent = quant_loss
+            loss_rec_lat = (
+                loss_recon + model.hparams.latent_loss_weight * loss_latent
+            )
+            loss_pcpt = lpips.apply(lpips_vars, xs, out)
+
+            if use_discriminator:
+                logits_fake, _ = disc_apply(
+                    state.disc_params, state.disc_batch_stats, out, False
+                )
+                loss_gen = g_loss_fn(logits_fake)
+
+                # adaptive weight: tail-only jacobians under stop_gradient
+                h_sg = jax.lax.stop_gradient(h_pre)
+                dec_sg = jax.lax.stop_gradient(dec_params)
+
+                def split_losses(last_kernel):
+                    dp = dict(dec_sg)
+                    dp["conv_out"] = dict(dp["conv_out"])
+                    dp["conv_out"]["kernel"] = last_kernel
+                    out_t = decoder_tail(dp, h_sg, out_ch)
+                    nll = recon_loss(out_t, xs) + p_weight * lpips.apply(
+                        lpips_vars, xs, out_t
+                    )
+                    lf, _ = disc_apply(
+                        state.disc_params, state.disc_batch_stats, out_t, False
+                    )
+                    return jnp.stack([nll, g_loss_fn(lf)])
+
+                jac = jax.jacrev(split_losses)(
+                    jax.lax.stop_gradient(dec_params["conv_out"]["kernel"])
+                )
+                nll_norm = jnp.linalg.norm(jac[0].reshape(-1))
+                g_norm = jnp.linalg.norm(jac[1].reshape(-1))
+                g_weight = jax.lax.stop_gradient(
+                    jnp.clip(nll_norm / (g_norm + 1e-4), 0.0, 1e4)
+                )
+            else:
+                loss_gen = jnp.zeros(())
+                g_weight = jnp.zeros(())
+
             total = (
                 loss_rec_lat
-                + p_weight * aux["loss_pcpt"]
-                + g_weight * gan_cfg.disc_weight * aux["loss_gen"]
+                + p_weight * loss_pcpt
+                + g_weight * gan_cfg.disc_weight * loss_gen
             )
+            aux = {
+                "out": out,
+                "codes": codes,
+                "new_codebook": mutated["codebook"],
+                "loss_recon": loss_recon,
+                "loss_latent": loss_latent,
+                "loss_pcpt": loss_pcpt,
+                "loss_gen": loss_gen,
+                "g_weight": g_weight,
+            }
             return total, aux
 
         (loss_gen_total, aux), grads = jax.value_and_grad(total_gen, has_aux=True)(
@@ -266,7 +256,7 @@ def make_train_step(
             "loss_pcpt": aux["loss_pcpt"],
             "loss_gen": aux["loss_gen"],
             "loss_disc": loss_disc,
-            "g_weight": g_weight,
+            "g_weight": aux["g_weight"],
             **logits_avg,
         }
         new_state = Stage1State(

@@ -219,3 +219,18 @@ class TestSchedule:
             steps_per_epoch=100, max_epoch=10,
         )
         np.testing.assert_allclose(float(sched(999)), 4e-5, rtol=1e-4)
+
+
+def test_decoder_tail_matches_full_decode():
+    """modules.decoder_tail(raw params) must equal the decoder's final
+    norm/act/conv (the stage-1 trainer relies on this split)."""
+    from rqvae_tpu.models.rqvae.modules import Decoder, decoder_tail
+
+    dd = DDConfig.create(DD)
+    dec = Decoder(dd)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 16))
+    variables = dec.init(jax.random.PRNGKey(1), z)
+    full = dec.apply(variables, z)
+    pre = dec.apply(variables, z, True, True)  # deterministic, give_pre_end
+    tail = decoder_tail(variables["params"], pre, dd.out_ch)
+    np.testing.assert_allclose(np.asarray(tail), np.asarray(full), rtol=1e-5, atol=1e-5)
