@@ -111,3 +111,32 @@ def shard_pytree(tree, specs, mesh: Mesh):
         specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def zero_opt_state_specs(opt_state, mesh: Mesh):
+    """ZeRO-1-style optimizer-state sharding specs: shard each moment tensor
+    over the data axis on its first divisible dim; scalars/counters stay
+    replicated. The reference has no FSDP/ZeRO equivalent (SURVEY §2.9
+    'ABSENT') — in JAX it is just a placement decision and GSPMD inserts the
+    gathers around the optimizer update."""
+    n_data = mesh.shape[DATA_AXIS]
+
+    def spec_for(leaf):
+        if leaf.ndim == 0:
+            return P()
+        spec = [None] * leaf.ndim
+        for axis in range(leaf.ndim):
+            if leaf.shape[axis] % n_data == 0 and leaf.shape[axis] >= n_data:
+                spec[axis] = DATA_AXIS
+                break
+        return P(*spec)
+
+    return jax.tree.map(spec_for, opt_state)
+
+
+def shard_opt_state_zero(opt_state, mesh: Mesh):
+    """Apply ZeRO-1 placement to an optax optimizer state."""
+    specs = zero_opt_state_specs(opt_state, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), opt_state, specs
+    )

@@ -111,3 +111,38 @@ def test_codebook_ema_psum_equals_global_batch():
     np.testing.assert_allclose(np.asarray(cluster), np.asarray(ref_state.cluster_size), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ema), np.asarray(ref_state.embed_ema), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(embed), np.asarray(ref_state.embed), rtol=1e-4, atol=1e-5)
+
+
+def test_zero_optimizer_state_sharding(setup):
+    """ZeRO-1 placement: a train step with data-sharded optimizer moments
+    must produce the same update as fully-replicated state."""
+    import optax
+
+    from rqvae_tpu.trainers import trainer_stage2 as t2
+
+    config, params, vq_state, vq_config = setup
+    mesh = mesh_lib.create_mesh(8, 1)
+    tx = optax.adamw(1e-3)
+    state = t2.init_state(jax.random.PRNGKey(0), config, tx)
+
+    step = jax.jit(
+        t2.make_train_step(config, t2.Stage2LossConfig(use_soft_target=False),
+                           tx, vq_state=vq_state, vq_config=vq_config)
+    )
+    batch = {
+        "codes": jax.random.randint(jax.random.PRNGKey(1), (8, 4, 4, 2), 0, 64),
+        "cond": jnp.zeros((8,), jnp.int32),
+    }
+    ref_state, ref_metrics = step(state, batch, jax.random.PRNGKey(2))
+
+    sharded = state.replace(
+        opt_state=mesh_lib.shard_opt_state_zero(state.opt_state, mesh)
+    )
+    with mesh:
+        z_state, z_metrics = step(sharded, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        float(z_metrics["loss_total"]), float(ref_metrics["loss_total"]), rtol=1e-5
+    )
+    a = jax.tree.leaves(ref_state.params)[0]
+    b = jax.tree.leaves(z_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
