@@ -72,6 +72,9 @@ def main():
         f"samples_temp{args.temp}_top_k_{top_k}_top_p_{top_p}",
     )
     os.makedirs(out_dir, exist_ok=True)
+    # seed provenance (reference saves per-rank seeds, main_sampling_fid.py:99-138)
+    with open(os.path.join(out_dir, "seeds.txt"), "a") as f:
+        f.write(f"seed={args.seed} n={args.n_samples} bs={args.batch_size}\n")
 
     @jax.jit
     def decode(codes):

@@ -13,12 +13,14 @@ from rqvae_tpu.metrics.fid import InceptionExtractor, load_samples_from_files
 def calculate_kl_div(ps: np.ndarray, splits: int):
     scores = []
     n = ps.shape[0]
+    splits = max(1, min(splits, n))  # avoid empty splits on tiny sample sets
     for j in range(splits):
         part = ps[(j * n // splits) : ((j + 1) * n // splits)]
         kl = part * (np.log(part) - np.log(part.mean(axis=0, keepdims=True)))
         scores.append(np.exp(np.sum(kl, axis=1).mean()))
     scores = np.asarray(scores)
-    return float(scores.mean()), float(scores.std(ddof=1))
+    std = float(scores.std(ddof=1)) if len(scores) > 1 else 0.0
+    return float(scores.mean()), std
 
 
 def compute_inception_score_from_files(
