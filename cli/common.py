@@ -23,7 +23,7 @@ def set_seed(seed=None) -> int:
     return seed
 
 
-def load_model_from_ckpt(ckpt_path: str):
+def load_model_from_ckpt(ckpt_path: str, use_ema: bool = False):
     """Load a model (+config) given a .pt/Orbax path with config.yaml beside
     it. Returns ('rq-vae', model, variables, config) or
     ('rq-transformer', tconf, params, config)."""
@@ -34,15 +34,15 @@ def load_model_from_ckpt(ckpt_path: str):
         model, variables = load_rqvae(arch, ckpt_path)
         return "rq-vae", model, variables, config
     elif arch.type == "rq-transformer":
-        tconf, params = load_rqtransformer(arch, ckpt_path)
+        tconf, params = load_rqtransformer(arch, ckpt_path, use_ema=use_ema)
         return "rq-transformer", tconf, params, config
     raise ValueError(arch.type)
 
 
-def load_ar_and_vqvae(ar_ckpt_path: str):
+def load_ar_and_vqvae(ar_ckpt_path: str, use_ema: bool = False):
     """(tconf, ar_params, vqvae_model, vq_vars, stage2_config); the stage-1
     checkpoint path comes from the stage-2 config (config.vqvae.ckpt)."""
-    kind, tconf, params, config = load_model_from_ckpt(ar_ckpt_path)
+    kind, tconf, params, config = load_model_from_ckpt(ar_ckpt_path, use_ema=use_ema)
     assert kind == "rq-transformer", "expected a stage-2 checkpoint"
     vq_ckpt = config.vqvae.ckpt
     vq_config_path = os.path.join(os.path.dirname(vq_ckpt), "config.yaml")

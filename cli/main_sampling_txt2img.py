@@ -36,6 +36,7 @@ def parse_args():
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ema", action="store_true", help="sample with EMA weights")
     return p.parse_args()
 
 
@@ -43,9 +44,10 @@ def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO)
     set_seed(args.seed)
-    smoke = bool(os.environ.get("SMOKE_TEST", 0))
+    from rqvae_tpu.utils.config import env_flag
+    smoke = env_flag("SMOKE_TEST")
 
-    tconf, ar_params, vqvae, vq_vars, config = load_ar_and_vqvae(args.model_path)
+    tconf, ar_params, vqvae, vq_vars, config = load_ar_and_vqvae(args.model_path, use_ema=args.ema)
     vq_state = vq_vars["codebook"]["state"]
     vq_config = vqvae.quantizer_config
 

@@ -95,11 +95,12 @@ def main():
         logger=logger, writer=writer, sharding=sharding,
         grad_accum_steps=grad_accum, seed=args.seed,
     )
+    epoch_st = trainer.maybe_resume() if args.resume else 0
     if args.eval:
         summary = trainer.eval_epoch(0)
         logger.info("valid %s", summary.print_line())
     else:
-        trainer.run_epoch(0)
+        trainer.run_epoch(epoch_st)
     writer.close()
 
 

@@ -23,7 +23,9 @@ from rqvae_tpu.data.transforms import create_transforms, create_txtimg_transform
 
 
 def _smoke_test() -> bool:
-    return bool(os.environ.get("SMOKE_TEST", 0))
+    from rqvae_tpu.utils.config import env_flag
+
+    return env_flag("SMOKE_TEST")
 
 
 def _maybe_truncate(dataset, config, seed=0):

@@ -106,8 +106,10 @@ class LSUNClass(ImageDataset):
                     "LSUN lmdb databases require the 'lmdb' package (not baked "
                     "into this image); extract to an image folder instead"
                 ) from e
+            # max_readers sized for the threaded DataLoader pool (the
+            # reference's max_readers=1 assumed forked worker processes)
             self.lmdb_env = lmdb.open(
-                root, max_readers=1, readonly=True, lock=False,
+                root, max_readers=128, readonly=True, lock=False,
                 readahead=False, meminit=False,
             )
             cache_file = os.path.join(root, "_key_cache.pkl")

@@ -68,6 +68,17 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that re-checks `stop` so an abandoned iterator
+            never leaves the producer blocked on a full queue."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -82,11 +93,12 @@ class DataLoader:
                             batch = jax.tree.map(
                                 lambda x: jax.device_put(x, self.sharding), batch
                             )
-                        out_q.put(batch)
+                        if not put_or_stop(batch):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                put_or_stop(e)
             finally:
-                out_q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

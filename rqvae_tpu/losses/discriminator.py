@@ -56,7 +56,10 @@ class NLayerDiscriminator(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                scale_init=nn.initializers.normal(0.02),  # N(1, .02) shifted below
+                # reference weights_init: BN weight ~ N(1.0, 0.02)
+                # (discriminator.py:98-100)
+                scale_init=lambda key, shape, dtype=jnp.float32: 1.0
+                + 0.02 * jax.random.normal(key, shape, dtype),
                 name=name,
             )(h)
 

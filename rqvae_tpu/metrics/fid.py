@@ -169,13 +169,21 @@ def compute_rfid(
     extractor = extractor or InceptionExtractor()
     acts_orig, acts_recon = [], []
     n = len(dataset)
-    for i in range(0, n - n % batch_size, batch_size):
-        xs = np.stack([np.asarray(dataset[j][0]) for j in range(i, i + batch_size)])
+    if n == 0:
+        raise ValueError("empty dataset")
+    for i in range(0, n, batch_size):
+        idxs = list(range(i, min(i + batch_size, n)))
+        xs = np.stack([np.asarray(dataset[j][0]) for j in idxs])
+        valid = len(idxs)
+        if valid < batch_size:  # zero-pad the tail to a fixed compile shape
+            xs = np.concatenate(
+                [xs, np.zeros((batch_size - valid, *xs.shape[1:]), xs.dtype)]
+            )
         orig01 = np.clip(xs * 0.5 + 0.5, 0, 1)
         recon = np.asarray(recon_fn(jnp.asarray(xs)))
         recon01 = np.clip(recon * 0.5 + 0.5, 0, 1)
-        acts_orig.append(extractor.activations_batches([orig01]))
-        acts_recon.append(extractor.activations_batches([recon01]))
+        acts_orig.append(extractor.activations_batches([orig01])[:valid])
+        acts_recon.append(extractor.activations_batches([recon01])[:valid])
     mu_o, s_o = mean_covar(np.concatenate(acts_orig))
     mu_r, s_r = mean_covar(np.concatenate(acts_recon))
     return frechet_distance(mu_o, s_o, mu_r, s_r)

@@ -82,8 +82,13 @@ def load_rqvae(arch_config, ckpt_path: str, use_kernel=None) -> Tuple[RQVAE, dic
     return model, variables
 
 
-def load_rqtransformer(arch_config, ckpt_path: str) -> Tuple[TransformerConfig, dict]:
-    """(config, params) from a reference .pt or native Orbax state."""
+def load_rqtransformer(
+    arch_config, ckpt_path: str, use_ema: bool = False
+) -> Tuple[TransformerConfig, dict]:
+    """(config, params) from a reference .pt or native Orbax state.
+
+    use_ema selects the EMA weights (reference loads state_dict_ema when
+    sampling EMA-trained models, main_sampling_fid.py:146-156)."""
     config = create_rqtransformer(arch_config)
     if ckpt_path.endswith((".pt", ".pth", ".ckpt")):
         from rqvae_tpu.checkpoint.torch_convert import (
@@ -91,7 +96,16 @@ def load_rqtransformer(arch_config, ckpt_path: str) -> Tuple[TransformerConfig, 
             load_torch_state_dict,
         )
 
-        sd = load_torch_state_dict(ckpt_path)
+        import torch
+
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        key = "state_dict_ema" if (use_ema and "state_dict_ema" in ckpt) else None
+        if key:
+            sd = {k: v.detach().cpu().numpy() for k, v in ckpt[key].items()}
+        else:
+            if use_ema:
+                raise ValueError(f"no state_dict_ema in {ckpt_path}")
+            sd = load_torch_state_dict(ckpt_path)
         params = jax.tree.map(jnp.asarray, convert_rqtransformer(sd, config))
     else:
         from rqvae_tpu.checkpoint import restore_checkpoint
@@ -104,6 +118,10 @@ def load_rqtransformer(arch_config, ckpt_path: str) -> Tuple[TransformerConfig, 
                 ckpt_dir, {"params": target, "ema_params": target}, step_n
             )
         except Exception:
+            if use_ema:
+                raise
             state = restore_checkpoint(ckpt_dir, {"params": target}, step_n)
-        params = state["params"]
+        params = state["ema_params"] if (use_ema and "ema_params" in state) else state["params"]
+        if use_ema and "ema_params" not in state:
+            raise ValueError(f"no ema_params in {ckpt_path}")
     return config, params

@@ -200,8 +200,3 @@ class RQVAE(nn.Module):
             "codes": [codes],
         }
 
-
-def last_layer_path() -> tuple:
-    """Param-pytree path of the decoder's final conv kernel, used for the
-    adaptive GAN weight (reference rqvae.py:143-144)."""
-    return ("decoder", "conv_out", "kernel")

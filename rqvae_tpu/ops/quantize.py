@@ -237,12 +237,11 @@ def _ema_update_one(
             vectors_pool = vectors
         perm = jax.random.permutation(rng, vectors_pool.shape[0])
         random_vectors = vectors_pool[perm[:n_embed]]
-        # NOTE: all shards use the same key -> same restart vectors drawn from
-        # the *local* batch. With data sharding the local batches differ, so
-        # unlike the reference broadcast-from-rank-0 the restart vectors vary
-        # per shard unless the caller pmeans them; statistically equivalent.
+        # broadcast-from-rank-0 semantics (reference dist.broadcast,
+        # quantizations.py:113-114): every shard adopts shard 0's candidate
+        # vectors so restarted codes are REAL latents, not cross-shard means
         if axis_name is not None:
-            random_vectors = jax.lax.pmean(random_vectors, axis_name)
+            random_vectors = jax.lax.all_gather(random_vectors, axis_name)[0]
 
         usage = (cluster_size >= 1.0).astype(jnp.float32)[:, None]  # [n_embed,1]
         embed_ema = embed_ema * usage + random_vectors * (1.0 - usage)

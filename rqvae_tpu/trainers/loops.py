@@ -27,7 +27,9 @@ from rqvae_tpu.trainers import trainer_stage2 as t2
 from rqvae_tpu.trainers.accumulator import AccmStage1, AccmStage2
 from rqvae_tpu.utils.setup import Writer, make_grid
 
-SMOKE_TEST = bool(os.environ.get("SMOKE_TEST", 0))
+from rqvae_tpu.utils.config import env_flag
+
+SMOKE_TEST = env_flag("SMOKE_TEST")
 
 
 def _write_config_beside(weights_dir: str, config):
@@ -317,6 +319,15 @@ class Stage2Trainer:
         save_checkpoint(weights_dir, weights, epoch)
         _write_config_beside(weights_dir, self.config)
         self.logger.info("epoch %d: checkpoint saved at %s", epoch, path)
+
+    def maybe_resume(self):
+        ckpt_dir = os.path.join(self.config.result_path, "ckpt")
+        step = latest_step(ckpt_dir)
+        if step is not None:
+            self.state = restore_checkpoint(ckpt_dir, self.state, step)
+            self.logger.info("resumed from epoch %d", step)
+            return step + 1
+        return 0
 
     def run_epoch(self, epoch_st: int = 0):
         exp = self.config.experiment

@@ -38,6 +38,9 @@ class Stage1State:
     disc_batch_stats: Any
     disc_step: jax.Array
     ema_params: Any = None
+    # reference EMA covers the FULL state_dict incl. quantizer buffers
+    # (ema.py:37-48), so the codebook is EMA-tracked alongside the params
+    ema_codebook: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,17 +85,8 @@ def init_state(
         disc_batch_stats=disc_vars.get("batch_stats", {}),
         disc_step=jnp.zeros((), jnp.int32),
         ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+        ema_codebook=jax.tree.map(jnp.copy, variables["codebook"]) if use_ema else None,
     )
-
-
-def _tree_get(tree, path):
-    node = tree
-    for p in path:
-        node = node[p]
-    return node
-
-
-LAST_LAYER_PATH = ("decoder", "conv_out", "kernel")
 
 
 def make_train_step(
@@ -244,8 +238,12 @@ def make_train_step(
             logits_avg = {"logits_real": jnp.zeros(()), "logits_fake": jnp.zeros(())}
 
         ema_params = state.ema_params
+        ema_codebook = state.ema_codebook
         if ema_params is not None:
             ema_params = ema_lib.ema_update(ema_params, params, state.step, ema_mu)
+            ema_codebook = ema_lib.ema_update(
+                ema_codebook, aux["new_codebook"], state.step, ema_mu
+            )
 
         metrics = {
             "loss_total": aux["loss_recon"]
@@ -269,6 +267,7 @@ def make_train_step(
             disc_batch_stats=new_bs,
             disc_step=disc_step,
             ema_params=ema_params,
+            ema_codebook=ema_codebook,
         )
         return new_state, metrics, aux["codes"]
 
@@ -295,8 +294,13 @@ def make_eval_step(
     def eval_step(state: Stage1State, batch: dict):
         xs = batch["images"]
         params = state.ema_params if use_ema else state.params
+        codebook = (
+            state.ema_codebook
+            if (use_ema and state.ema_codebook is not None)
+            else state.codebook
+        )
         out, quant_loss, codes = model.apply(
-            {"params": params, "codebook": state.codebook}, xs
+            {"params": params, "codebook": codebook}, xs
         )
         losses = model.compute_loss(out, quant_loss, codes, xs=xs, valid=True)
         loss_pcpt = lpips.apply(lpips_vars, xs, out) * xs.shape[0]

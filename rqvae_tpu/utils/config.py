@@ -17,6 +17,15 @@ from typing import Any, Iterable, Mapping
 import yaml
 
 
+def env_flag(name: str, default: bool = False) -> bool:
+    """Boolean env var: '0', 'false', 'no', '' are False (bool(os.environ
+    .get(...)) treats the string '0' as True — a footgun for SMOKE_TEST=0)."""
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val.strip().lower() not in ("", "0", "false", "no", "off")
+
+
 class Config(dict):
     """dict with attribute access and recursive wrapping."""
 

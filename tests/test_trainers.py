@@ -234,3 +234,20 @@ def test_decoder_tail_matches_full_decode():
     pre = dec.apply(variables, z, True, True)  # deterministic, give_pre_end
     tail = decoder_tail(variables["params"], pre, dd.out_ch)
     np.testing.assert_allclose(np.asarray(tail), np.asarray(full), rtol=1e-5, atol=1e-5)
+
+
+def test_stage1_ema_tracks_codebook():
+    model, disc, lpips, lpips_vars, tx, disc_tx, gan_cfg = make_stage1()
+    state = t1.init_state(
+        jax.random.PRNGKey(0), model, disc, tx, disc_tx,
+        image_shape=(32, 32, 3), use_ema=True,
+    )
+    assert state.ema_codebook is not None
+    step = jax.jit(
+        t1.make_train_step(model, disc, lpips, lpips_vars, gan_cfg, tx, disc_tx,
+                           use_discriminator=False)
+    )
+    batch = {"images": jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3)) * 2 - 1}
+    old = np.asarray(state.ema_codebook["state"].embed)
+    new_state, _, _ = step(state, batch, jax.random.PRNGKey(2))
+    assert np.abs(np.asarray(new_state.ema_codebook["state"].embed) - old).sum() > 0
