@@ -73,7 +73,7 @@ def build(f, model_name, depth, codebook_size):
         vocab_size_cond=1000, block_size_cond=1,
         body={"n_layer": body_l if depth > 1 else body_l_d1,
               "block": {"n_head": n_head}},
-        head={"n_layer": head_l if depth > 1 else 1, "block": {"n_head": n_head}},
+        head={"n_layer": head_l if depth > 1 else 0, "block": {"n_head": n_head}},
     )
     tconf = TransformerConfig.create(augment_arch_defaults(Config(arch_t)).to_dict())
     return vqvae, tconf
