@@ -66,3 +66,33 @@ def test_grad_accum_math():
     cfg = C.augment_dist_defaults(cfg, num_devices=8)
     assert cfg.optimizer.grad_accm_steps == 2048 // (8 * 32)
     assert cfg.experiment.total_batch_size == 2048
+
+
+REF_STAGE2 = sorted(
+    glob.glob("/root/reference/configs/*/stage2/*.yaml")
+    + glob.glob("/root/reference/configs/cc3m/*.yaml")
+)
+
+
+@pytest.mark.parametrize("path", REF_STAGE2, ids=[p.split("configs/")[-1] for p in REF_STAGE2])
+def test_all_reference_stage2_configs_build_transformer(tmp_path, path):
+    """Every reference stage-2 YAML must produce a valid TransformerConfig
+    (and a consistent param pytree shape-wise)."""
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+
+    stage1 = C.load_config(
+        "/root/reference/configs/imagenet256/stage1/in256-rqvae-8x8x4.yaml"
+    )
+    (tmp_path / "config.yaml").write_text(stage1.to_yaml())
+    (tmp_path / "model.pt").write_bytes(b"")
+
+    cfg = C.load_config(path)
+    cfg.vqvae = {"ckpt": str(tmp_path / "model.pt")}
+    cfg = C.augment_defaults(cfg)
+    tconf = TransformerConfig.create(cfg.arch.to_dict())
+    assert tconf.embed_dim == cfg.arch.embed_dim
+    assert tconf.body.n_layer == cfg.arch.body.n_layer
+    assert tconf.vocab_size[0] == cfg.dataset.vocab_size
+    # text configs carry a cond prefix
+    if cfg.arch.block_size_cond and cfg.arch.block_size_cond > 1:
+        assert tconf.vocab_size_cond == cfg.dataset.vocab_size_txt
