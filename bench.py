@@ -40,7 +40,7 @@ from rqvae_tpu.utils.config import Config, augment_arch_defaults
 BATCH_SIZE = int(os.environ.get("BENCH_BS", "100"))
 N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "400"))  # per timed loop
 N_LOOPS = int(os.environ.get("BENCH_LOOPS", "2"))
-DECODE_CHUNK = int(os.environ.get("BENCH_DECODE_CHUNK", "25"))
+DECODE_CHUNK = int(os.environ.get("BENCH_DECODE_CHUNK", "100"))
 A100_BASELINE_MS = {100: 39.0, 200: 25.0, 500: 19.0}
 DTYPE = jnp.bfloat16
 

@@ -123,8 +123,9 @@ def main():
             temperature=1.0, top_k=None, top_p=None, dtype=DTYPE,
         )
 
-    # decode in <=25-image chunks to bound 256x256 decoder activation memory
-    chunk = max(1, batch_size // max(1, batch_size // 25))
+    # decode in <=100-image chunks (100 fits v5e HBM at 256x256 alongside
+    # the 1.4B transformer; chunking only kicks in for larger batches)
+    chunk = max(1, batch_size // max(1, batch_size // 100))
 
     @jax.jit
     def decode_fn(codes):
