@@ -134,11 +134,12 @@ def main():
             temperature=1.0, top_k=None, top_p=None, dtype=DTYPE,
         )
 
-    n_chunks = max(1, BATCH_SIZE // DECODE_CHUNK)
+    decode_chunk = min(DECODE_CHUNK, BATCH_SIZE)
+    n_chunks = max(1, BATCH_SIZE // decode_chunk)
 
     @jax.jit
     def decode_fn(codes):
-        chunks = codes.reshape(n_chunks, DECODE_CHUNK, *codes.shape[1:])
+        chunks = codes.reshape(n_chunks, decode_chunk, *codes.shape[1:])
 
         def dec(chunk):
             pix = vqvae.apply(vq_vars, chunk, method=RQVAE.decode_code)
