@@ -60,10 +60,10 @@ def create_dataset(config, is_eval: bool = False, logger=None):
         cat_root = os.path.join(root, category) if os.path.isdir(
             os.path.join(root, category)
         ) else root
-        trn = LSUNClass(cat_root, transform=t_trn)
+        trn = LSUNClass(cat_root, transform=t_trn, category=category)
         # reference quirk preserved: LSUN val reuses the TRAIN data and
         # train transforms (img_datasets/__init__.py:53-54)
-        val = LSUNClass(cat_root, transform=t_trn)
+        val = LSUNClass(cat_root, transform=t_trn, category=category)
     else:
         raise ValueError(f"{dtype} not supported...")
 

@@ -28,6 +28,13 @@ class ImageDataset:
         self.items = list(items)
         self.transform = transform
         self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Fresh augmentation draws per epoch while keeping runs with the
+        same seed bit-reproducible (the loader calls this alongside its
+        shuffle set_epoch)."""
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.items)
@@ -41,7 +48,7 @@ class ImageDataset:
         spec, label = self.items[index]
         img = self.load_image(spec)
         rng = np.random.default_rng(
-            np.random.SeedSequence([self.seed, index, int.from_bytes(os.urandom(4), "little")])
+            np.random.SeedSequence([self.seed, self.epoch, index])
         )
         return self.transform(img, rng), label
 
@@ -94,9 +101,17 @@ class FFHQ(ImageDataset):
 class LSUNClass(ImageDataset):
     """LSUN lmdb reader with cached key list (reference lsun.py:27-78).
     Falls back to a plain image directory when lmdb (or the .mdb files) are
-    absent."""
+    absent.
 
-    def __init__(self, root: str, transform: Transform, **kw):
+    `category` enables the reference's per-category data quirks: LSUN-cat
+    has two corrupt records, read as index-1 instead (lsun.py:57-60)."""
+
+    CAT_EXCEPTION_IDX = (29343, 88863)
+
+    def __init__(self, root: str, transform: Transform, category: str = "", **kw):
+        self.exception_idx = (
+            self.CAT_EXCEPTION_IDX if category == "cat" else ()
+        )
         self.lmdb_env = None
         if os.path.isdir(root) and any(f.endswith(".mdb") for f in os.listdir(root)):
             try:
@@ -129,6 +144,11 @@ class LSUNClass(ImageDataset):
                 if fn.lower().endswith(IMG_EXTENSIONS)
             ]
         super().__init__(items, transform, **kw)
+
+    def __getitem__(self, index: int):
+        if index in self.exception_idx:
+            index = index - 1
+        return super().__getitem__(index)
 
     def load_image(self, spec):
         if self.lmdb_env is not None:

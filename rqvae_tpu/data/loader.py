@@ -1,10 +1,20 @@
-"""Data loader: threaded decode + device prefetch.
+"""Data loader: threaded decode + device prefetch, multi-host aware.
 
 Replaces the reference's torch DataLoader + DistributedSampler
 (/root/reference/rqvae/trainers/trainer.py:45-88): deterministic per-epoch
 shuffling (set_epoch semantics), worker threads for JPEG decode/augment, and
 an async prefetch queue that lands batches in device memory (sharded over the
 data mesh axis when a sharding is given) so TPU steps are never input-bound.
+
+Multi-host: each process materialises ONLY its shard of every batch
+(`shard_indices` = torch DistributedSampler semantics: pad the epoch
+permutation to a multiple of world size, then stride by rank —
+/root/reference/rqvae/trainers/trainer.py:65-72) and assembles the global
+jax.Array from per-process local data via
+`jax.make_array_from_process_local_data`. Launch recipe: run the same
+training script on every host with `jax.distributed.initialize()` (see
+rqvae_tpu/parallel/dist.py); pass the GLOBAL batch_size — the loader derives
+the per-process slice from jax.process_index()/process_count().
 """
 
 from __future__ import annotations
@@ -18,11 +28,35 @@ import numpy as np
 import jax
 
 
+def shard_indices(
+    n: int,
+    epoch: int,
+    process_index: int,
+    process_count: int,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> np.ndarray:
+    """This process's index shard for one epoch (DistributedSampler
+    semantics): deterministic permutation of range(n), padded by wrap-around
+    to a multiple of process_count, strided by rank. Shards are disjoint,
+    cover the dataset, and are identical across processes for the same
+    (seed, epoch)."""
+    if shuffle:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        idx = rng.permutation(n)
+    else:
+        idx = np.arange(n)
+    total = ((n + process_count - 1) // process_count) * process_count
+    if total > n:
+        idx = np.concatenate([idx, idx[: total - n]])
+    return idx[process_index::process_count]
+
+
 class DataLoader:
     def __init__(
         self,
         dataset,
-        batch_size: int,
+        batch_size: int,  # GLOBAL batch size (across all processes)
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = True,
@@ -30,6 +64,8 @@ class DataLoader:
         prefetch: int = 2,
         sharding=None,  # jax.sharding.Sharding for the device-put
         collate: Optional[Callable] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -40,31 +76,56 @@ class DataLoader:
         self.prefetch = prefetch
         self.sharding = sharding
         self.collate = collate or default_collate
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+        assert batch_size % self.process_count == 0, (
+            f"global batch_size {batch_size} not divisible by "
+            f"process_count {self.process_count}"
+        )
+        self.local_batch_size = batch_size // self.process_count
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+        per_proc = (n + self.process_count - 1) // self.process_count
+        if self.drop_last:
+            return per_proc // self.local_batch_size
+        return (per_proc + self.local_batch_size - 1) // self.local_batch_size
 
     def _indices(self):
-        n = len(self.dataset)
-        if self.shuffle:
-            rng = np.random.default_rng(np.random.SeedSequence([self.seed, self._epoch]))
-            idx = rng.permutation(n)
-        else:
-            idx = np.arange(n)
+        idx = shard_indices(
+            len(self.dataset), self._epoch, self.process_index,
+            self.process_count, self.shuffle, self.seed,
+        )
         if self.drop_last:
-            idx = idx[: (n // self.batch_size) * self.batch_size]
+            idx = idx[: (len(idx) // self.local_batch_size) * self.local_batch_size]
         return idx
+
+    def _to_device(self, batch):
+        if self.sharding is None:
+            return batch
+        if self.process_count > 1 or any(
+            d.process_index != self.process_index for d in self.sharding.device_set
+        ):
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(self.sharding, x),
+                batch,
+            )
+        return jax.tree.map(lambda x: jax.device_put(x, self.sharding), batch)
 
     def __iter__(self) -> Iterator:
         idx = self._indices()
-        batches = [
-            idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
-        ]
+        bs = self.local_batch_size
+        batches = [idx[i : i + bs] for i in range(0, len(idx), bs)]
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -88,11 +149,7 @@ class DataLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__, b))
-                        batch = self.collate(items)
-                        if self.sharding is not None:
-                            batch = jax.tree.map(
-                                lambda x: jax.device_put(x, self.sharding), batch
-                            )
+                        batch = self._to_device(self.collate(items))
                         if not put_or_stop(batch):
                             return
             except Exception as e:  # surface worker errors to the consumer

@@ -41,6 +41,38 @@ class ActNorm(nn.Module):
         return scale * (x + loc)
 
 
+def initialize_actnorm(disc: "NLayerDiscriminator", variables: dict, x) -> dict:
+    """Data-dependent ActNorm initialisation from a sample batch
+    (reference discriminator.py:22-68 `ActNorm.initialize`, triggered lazily
+    on the first training forward :76-78): per channel, loc = -mean and
+    scale = 1/(std+1e-6) of that norm's input. Norms are initialised in
+    network order — each sees upstream norms already initialised, exactly
+    like the torch lazy single-forward — by re-running the forward and
+    capturing the preceding conv's output. Returns updated variables."""
+    import copy
+
+    assert disc.use_actnorm, "initialize_actnorm requires use_actnorm=True"
+    params = copy.deepcopy(jax.device_get(dict(variables))["params"])
+    for n in list(range(1, disc.n_layers)) + [disc.n_layers]:
+        conv_name, norm_name = f"conv_{n}", f"norm_{n}"
+        _, inter = disc.apply(
+            {"params": params},
+            x,
+            train=False,
+            capture_intermediates=lambda mdl, _m, name=conv_name: mdl.name == name,
+            mutable=["intermediates"],
+        )
+        h = inter["intermediates"][conv_name]["__call__"][0]  # norm input NHWC
+        h = jnp.reshape(h, (-1, h.shape[-1])).astype(jnp.float32)
+        mean = jnp.mean(h, axis=0)
+        std = jnp.std(h, axis=0, ddof=1)  # torch .std(1) is Bessel-corrected
+        params[norm_name]["loc"] = (-mean).reshape(1, 1, 1, -1)
+        params[norm_name]["scale"] = (1.0 / (std + 1e-6)).reshape(1, 1, 1, -1)
+    out = dict(variables)
+    out["params"] = params
+    return out
+
+
 class NLayerDiscriminator(nn.Module):
     input_nc: int = 3
     ndf: int = 64

@@ -103,6 +103,32 @@ def init_lpips(rng=None) -> dict:
     return _init(rng)
 
 
+def convert_lpips(variables: dict, vgg_sd, lin_sd=None) -> dict:
+    """Torch state_dicts -> LPIPS flax variables.
+
+    vgg_sd: torchvision vgg16 state_dict ('features.N.weight' keys);
+    lin_sd: taming vgg_lpips state_dict ('linK.model.1.weight' keys,
+    reference lpips.py:73-79). Numeric parity vs the executed reference is
+    asserted in tests/test_eval_parity.py."""
+    # torchvision vgg16 features conv indices in order
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    params = jax.device_get(variables)["params"]
+    flat_names = [
+        f"conv{si}_{ci}" for si, convs in enumerate(VGG_SLICES) for ci in range(len(convs))
+    ]
+    for name, idx in zip(flat_names, conv_idx):
+        w = vgg_sd[f"features.{idx}.weight"].numpy().transpose(2, 3, 1, 0)
+        b = vgg_sd[f"features.{idx}.bias"].numpy()
+        params["net"][name]["kernel"] = w
+        params["net"][name]["bias"] = b
+
+    if lin_sd is not None:
+        for k in range(5):
+            w = lin_sd[f"lin{k}.model.1.weight"].numpy()  # [1, C, 1, 1]
+            params[f"lin{k}"] = w[:, :, 0, 0].T
+    return {"params": params}
+
+
 def load_lpips_params(
     vgg_path: Optional[str] = None, lin_path: Optional[str] = None
 ) -> tuple[dict, bool]:
@@ -118,21 +144,7 @@ def load_lpips_params(
     vgg_sd = torch.load(vgg_path, map_location="cpu", weights_only=False)
     if hasattr(vgg_sd, "state_dict"):
         vgg_sd = vgg_sd.state_dict()
-    # torchvision vgg16 features conv indices in order
-    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
-    params = jax.device_get(variables)["params"]
-    flat_names = [
-        f"conv{si}_{ci}" for si, convs in enumerate(VGG_SLICES) for ci in range(len(convs))
-    ]
-    for name, idx in zip(flat_names, conv_idx):
-        w = vgg_sd[f"features.{idx}.weight"].numpy().transpose(2, 3, 1, 0)
-        b = vgg_sd[f"features.{idx}.bias"].numpy()
-        params["net"][name]["kernel"] = w
-        params["net"][name]["bias"] = b
-
+    lin_sd = None
     if lin_path and os.path.exists(lin_path):
         lin_sd = torch.load(lin_path, map_location="cpu", weights_only=False)
-        for k in range(5):
-            w = lin_sd[f"lin{k}.model.1.weight"].numpy()  # [1, C, 1, 1]
-            params[f"lin{k}"] = w[:, :, 0, 0].T
-    return {"params": params}, True
+    return convert_lpips(variables, vgg_sd, lin_sd), True

@@ -281,3 +281,80 @@ def sample(
     )
     # codes: [HW, B, D] -> [B, H, W, D]
     return codes.transpose(1, 0, 2).reshape(B, H, W, D)
+
+
+def forced_logits(params, config: TransformerConfig, forced, cond, vq_state, vq_config):
+    """Per-location decode logits with the codes FORCED to a given sequence —
+    the sampler's cache/step machinery with the categorical draw removed.
+
+    Golden-parity harness for the reference `cached_forward` loop
+    (/root/reference/rqvae/models/rqtransformer/transformers.py:190-287):
+    `cli/parity_check.py --stage2` and
+    tests/test_rqtransformer_parity.py compare these logits at every
+    (h, w, d) against the executed reference. Returns [B, H, W, D, Vmax]."""
+    import numpy as np
+
+    B = forced.shape[0]
+    H, W, D = config.block_size
+    HW = H * W
+    C = config.embed_dim
+    cond_len = config.block_size_cond
+
+    if cond is None:
+        cond = jnp.zeros((B, cond_len), jnp.int32)
+    conds_emb = (
+        jnp.take(params["cond_emb"], jnp.asarray(cond).reshape(B, cond_len), axis=0)
+        + params["pos_emb_cond"][:, :cond_len]
+    )
+    body_kv = M.init_kv_cache(config.body, B, cond_len + HW)
+    h, body_kv = M.stack_step(params["body"], conds_emb, body_kv, jnp.int32(0), config.body)
+    spatial_ctx = h[:, -1, :]
+
+    pos_d = params["pos_emb_d"][0]
+    offsets = M.tok_emb_offsets(config)
+    out = np.zeros((B, H, W, D, config.vocab_size_max), np.float32)
+    forced_flat = np.asarray(forced).reshape(B, HW, D)
+
+    for t in range(HW):
+        depth_in = jnp.zeros((B, D, C))
+        depth_in = depth_in.at[:, 0, :].set(spatial_ctx + pos_d[0])
+        raw_cum = 0.0
+        body_sum = jnp.zeros((B, C))
+        for d in range(D):
+            hh = M.stack_forward(params["head"], depth_in, config.head)
+            logits = M.classifier_apply(params, config, hh[:, d, :], depth_idx=d)
+            out[:, t // W, t % W, d] = np.asarray(logits)
+            code_d = jnp.asarray(forced_flat[:, t, d])
+            if config.input_emb_vqvae:
+                e = rq.embed_lookup(
+                    vq_state.embed[vq_config.codebook_index(d)], code_d
+                )
+                body_sum = body_sum + (
+                    e @ params["input_mlp"]["kernel"] + params["input_mlp"]["bias"]
+                )
+            else:
+                body_sum = body_sum + jnp.take(
+                    params["tok_emb"],
+                    code_d + int(offsets[d]) * (0 if config.shared_tok_emb else 1),
+                    axis=0,
+                )
+            if d < D - 1:
+                if config.head_emb_vqvae:
+                    e = rq.embed_lookup(
+                        vq_state.embed[vq_config.codebook_index(d)], code_d
+                    )
+                    raw_cum = raw_cum + e if config.cumsum_depth_ctx else e
+                    row = raw_cum @ params["head_mlp"]["kernel"] + params["head_mlp"]["bias"]
+                else:
+                    row = jnp.take(
+                        params["tok_emb"],
+                        code_d + int(offsets[d]) * (0 if config.shared_tok_emb else 1),
+                        axis=0,
+                    )
+                depth_in = depth_in.at[:, d + 1, :].set(row + pos_d[d + 1])
+        u = (body_sum + params["pos_emb_hw"][0, t])[:, None, :]
+        h, body_kv = M.stack_step(
+            params["body"], u, body_kv, jnp.int32(cond_len + t), config.body
+        )
+        spatial_ctx = h[:, 0, :]
+    return out

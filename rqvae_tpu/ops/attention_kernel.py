@@ -40,13 +40,36 @@ def _decode_attn_kernel(
     computes the per-head partial sums, and w @ Seg^T broadcasts the softmax
     weights back onto the lanes."""
     cur_len = cur_len_ref[0]
-    BT, C = q_ref.shape
+    _attn_math(
+        cur_len, q_ref[:], k_new_ref[:], v_new_ref[:], kc_ref[:], vc_ref[:],
+        seg_ref[:], y_ref, n_head=n_head, t_max=t_max,
+    )
+
+
+def _decode_attn_kernel_stacked(
+    scal_ref,  # SMEM [2]: (cur_len, layer)
+    q_ref, k_new_ref, v_new_ref,
+    kc_ref,  # [1, BT, T, C] (layer block selected by index_map)
+    vc_ref,
+    seg_ref,
+    y_ref,
+    *,
+    n_head: int,
+    t_max: int,
+):
+    _attn_math(
+        scal_ref[0], q_ref[:], k_new_ref[:], v_new_ref[:], kc_ref[0],
+        vc_ref[0], seg_ref[:], y_ref, n_head=n_head, t_max=t_max,
+    )
+
+
+def _attn_math(cur_len, q, k_new, v_new, kc, vc, seg, y_ref, *, n_head, t_max):
+    BT, C = q.shape
     hs = C // n_head
     scale = 1.0 / np.sqrt(hs)
-    seg = seg_ref[:]  # [C, nh] fp32
 
-    q = q_ref[:].astype(jnp.float32)  # [BT, C]
-    kc = kc_ref[:].astype(jnp.float32)  # [BT, T, C]
+    q = q.astype(jnp.float32)  # [BT, C]
+    kc = kc.astype(jnp.float32)  # [BT, T, C]
 
     prod = (kc * q[:, None, :]).reshape(BT * t_max, C)
     s_past = (
@@ -58,7 +81,7 @@ def _decode_attn_kernel(
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1)
     s_past = jnp.where(t_ids < cur_len, s_past, -jnp.inf)
 
-    k_new = k_new_ref[:].astype(jnp.float32)
+    k_new = k_new.astype(jnp.float32)
     s_self = (
         jnp.dot(k_new * q, seg, preferred_element_type=jnp.float32)[:, None, :]
         * scale
@@ -75,13 +98,73 @@ def _decode_attn_kernel(
     w_lanes = jnp.dot(
         w_past.reshape(BT * t_max, n_head), seg.T, preferred_element_type=jnp.float32
     ).reshape(BT, t_max, C)
-    vc = vc_ref[:].astype(jnp.float32)
+    vc = vc.astype(jnp.float32)
     y = jnp.sum(vc * w_lanes, axis=1)  # [BT, C]
     ws_lanes = jnp.dot(
         w_self[:, 0, :], seg.T, preferred_element_type=jnp.float32
     )  # [BT, C]
-    y = y + v_new_ref[:].astype(jnp.float32) * ws_lanes
+    y = y + v_new.astype(jnp.float32) * ws_lanes
     y_ref[:] = y.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "b_tile", "interpret")
+)
+def decode_attention_stacked(
+    q: jax.Array,  # [B, C]
+    k_new: jax.Array,  # [B, C]
+    v_new: jax.Array,  # [B, C]
+    k_cache: jax.Array,  # [L, B, T, C] FULL stacked cache
+    v_cache: jax.Array,  # [L, B, T, C]
+    layer: jax.Array,  # int32 scalar: which layer's cache to read
+    cur_len: jax.Array,  # int32 scalar
+    n_head: int,
+    b_tile: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode attention reading ONE layer of the stacked KV cache in place.
+
+    Inside the layer `lax.scan`, slicing `cache[l]` for a plain kernel call
+    makes XLA materialise a [B, T, C] copy per layer (the
+    constant_dynamic-slice fusion measured at ~35us/layer-step on v5e, ~25%
+    of decode-layer time). Here the layer index is a prefetched scalar used
+    by the BlockSpec index_map, so tiles DMA straight from the big cache
+    buffer — no copy, no extra HBM traffic."""
+    L, B, T, C = k_cache.shape
+    assert B % b_tile == 0, (
+        f"stacked cache path requires B % b_tile == 0 (cache is not padded); "
+        f"got B={B}, b_tile={b_tile}"
+    )
+    Bp = B
+
+    hs = C // n_head
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0) // hs
+        == jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 1)
+    ).astype(jnp.float32)
+
+    grid = (Bp // b_tile,)
+    kernel = functools.partial(_decode_attn_kernel_stacked, n_head=n_head, t_max=T)
+    scalars = jnp.stack([cur_len.astype(jnp.int32), layer.astype(jnp.int32)])
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((b_tile, C), lambda i, s: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, s: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, s: (i, 0)),
+                pl.BlockSpec((1, b_tile, T, C), lambda i, s: (s[1], i, 0, 0)),
+                pl.BlockSpec((1, b_tile, T, C), lambda i, s: (s[1], i, 0, 0)),
+                pl.BlockSpec((C, n_head), lambda i, s: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((b_tile, C), lambda i, s: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp, C), q.dtype),
+        interpret=interpret,
+    )(scalars, q, k_new, v_new, k_cache, v_cache, seg)
+    return y[:B]
 
 
 @functools.partial(

@@ -131,19 +131,33 @@ class Stage1Trainer:
         rng = jax.random.PRNGKey(self.seed + 1)
         last_xs = None
 
+        # metrics/codes stay ON DEVICE between flushes: a device_get per
+        # step serialises dispatch through the transfer (measured as loop
+        # overhead on the remote-tunnel chip); fetching every 50 steps keeps
+        # the step pipeline busy and only syncs where scalars are logged.
+        pending = []
+
+        def flush():
+            for m, c in pending:
+                accm.update([np.asarray(c)], jax.device_get(m), count=1)
+            pending.clear()
+
+        metrics_np = None
         for it, batch in enumerate(self.loader_trn):
             self.state, metrics, codes = step_fn(self.state, batch, rng)
-            metrics_np = jax.device_get(metrics)
-            accm.update([np.asarray(codes)], metrics_np, count=1)
+            pending.append((metrics, codes))
             last_xs = batch["images"]
 
             global_iter = epoch * len(self.loader_trn) + it
             if (global_iter + 1) % 50 == 0:
+                flush()
+                metrics_np = jax.device_get(metrics)
                 for k, v in metrics_np.items():
                     self.writer.add_scalar(f"loss_step/{k}", v, "train", global_iter)
             if (global_iter + 1) % 250 == 0:
                 self.log_reconstruction(last_xs, global_iter, tag="reconstruction_step")
 
+        flush()
         summary = accm.get_summary()
         summary["xs"] = last_xs
         return summary
@@ -169,7 +183,24 @@ class Stage1Trainer:
         out, _, _ = self.model.apply(
             {"params": self.state.params, "codebook": self.state.codebook}, xs
         )
-        real, recon = RQVAE.get_recon_imgs(xs, out)
+        self._write_grid(xs, out, tag, mode, step)
+
+    def log_partial_reconstruction(self, xs, epoch: int, code_idx: int,
+                                   mode: str, decode_type: str):
+        """Per-depth partial-code reconstruction grids — the main stage-1
+        codebook-health diagnostic (reference trainer_rqvae.py:366-389):
+        'select' decodes only depth `code_idx`, 'add' decodes depths
+        [0..code_idx]."""
+        xs = jnp.asarray(np.asarray(xs)[:16])
+        recon = self.model.apply(
+            {"params": self.state.params, "codebook": self.state.codebook},
+            xs, code_idx, decode_type, method=RQVAE.forward_partial_code,
+        )
+        tag = f"reconstruction_{decode_type}/{code_idx}-th code"
+        self._write_grid(xs, recon, tag, mode, epoch)
+
+    def _write_grid(self, xs, recon, tag, mode, step):
+        real, recon = RQVAE.get_recon_imgs(xs, recon)
         n = real.shape[0] // 2
         grid = np.concatenate(
             [np.asarray(real[:n]), np.asarray(recon[:n]),
@@ -178,6 +209,19 @@ class Stage1Trainer:
         self.writer.add_image(tag, make_grid(grid, nrow=max(n, 1)), mode, step)
 
     def logging(self, summary, epoch: int, mode: str):
+        # recon + per-depth partial-code grids on the reference cadence
+        # (trainer_rqvae.py:320-325)
+        test_freq = 1 if SMOKE_TEST else self.config.experiment.get("test_freq", 10)
+        if (epoch % 10 == 1 or epoch % test_freq == 0) and summary.get("xs") is not None:
+            self.log_reconstruction(summary["xs"], epoch, mode=mode)
+            if self.n_codebook > 1:
+                for code_idx in range(self.n_codebook):
+                    self.log_partial_reconstruction(
+                        summary["xs"], epoch, code_idx, mode, "select"
+                    )
+                    self.log_partial_reconstruction(
+                        summary["xs"], epoch, code_idx, mode, "add"
+                    )
         for k, v in summary.metrics.items():
             self.writer.add_scalar(f"loss/{k}", v, mode, epoch)
         for level, ents in enumerate(summary["ent_codes_wo_pad"] or []):
@@ -300,12 +344,14 @@ class Stage2Trainer:
 
     def eval_epoch(self, epoch: int):
         accm = AccmStage2(["loss_total", "loss_img", "loss_txt"])
-        rng = jax.random.PRNGKey(0)
+        # distinct key per batch (same base per epoch for comparable evals);
+        # a fixed key would draw identical stochastic soft codes every batch
+        base = jax.random.PRNGKey(1234)
         params = (
             self.state.ema_params if self.state.ema_params is not None else self.state.params
         )
-        for batch in self.loader_val:
-            metrics = self._eval_step(params, batch, rng)
+        for i, batch in enumerate(self.loader_val):
+            metrics = self._eval_step(params, batch, jax.random.fold_in(base, i))
             accm.update(jax.device_get(metrics), count=1)
         return accm.get_summary()
 

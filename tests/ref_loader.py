@@ -121,6 +121,55 @@ def load_rqtransformer_modules():
     return configs, primitives, attentions, transformers
 
 
+def load_ref_inception():
+    """Returns the reference rqvae/metrics/inception.py module (torch,
+    pytorch-fid port). Weight download is NOT triggered at import time —
+    tests must monkeypatch `fid_inception_v3` / the URL loader before
+    constructing `InceptionV3` (zero-egress environment)."""
+    _stub_missing_deps()
+    pkg = "ref_metrics"
+    if pkg not in sys.modules:
+        p = types.ModuleType(pkg)
+        p.__path__ = [f"{REF_ROOT}/rqvae/metrics"]
+        sys.modules[pkg] = p
+    return _load(pkg, "inception", f"{REF_ROOT}/rqvae/metrics/inception.py")
+
+
+def load_ref_discriminator():
+    """Returns the reference rqvae/losses/vqgan/discriminator.py module
+    (torch-only: ActNorm + weights_init + NLayerDiscriminator)."""
+    _stub_missing_deps()
+    pkg = "ref_losses"
+    if pkg not in sys.modules:
+        p = types.ModuleType(pkg)
+        p.__path__ = [f"{REF_ROOT}/rqvae/losses/vqgan"]
+        sys.modules[pkg] = p
+    return _load(pkg, "discriminator", f"{REF_ROOT}/rqvae/losses/vqgan/discriminator.py")
+
+
+def load_ref_lpips():
+    """Returns the reference rqvae/losses/vqgan/lpips.py module with its
+    lpips_utils dependency stubbed (get_ckpt_path would download).
+    Tests must no-op `LPIPS.load_from_pretrained` and monkeypatch
+    torchvision.models.vgg16 before constructing `LPIPS`."""
+    _stub_missing_deps()
+    pkg = "ref_losses"
+    if pkg not in sys.modules:
+        p = types.ModuleType(pkg)
+        p.__path__ = [f"{REF_ROOT}/rqvae/losses/vqgan"]
+        sys.modules[pkg] = p
+    utils_name = f"{pkg}.lpips_utils"
+    if utils_name not in sys.modules:
+        stub = types.ModuleType(utils_name)
+
+        def _no_download(name, root=None, check=False):
+            raise RuntimeError("zero-egress test env: weight download blocked")
+
+        stub.get_ckpt_path = _no_download
+        sys.modules[utils_name] = stub
+    return _load(pkg, "lpips", f"{REF_ROOT}/rqvae/losses/vqgan/lpips.py")
+
+
 class AttrDict(dict):
     """Minimal OmegaConf-like config for driving reference classes."""
 

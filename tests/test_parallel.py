@@ -146,3 +146,71 @@ def test_zero_optimizer_state_sharding(setup):
     a = jax.tree.leaves(ref_state.params)[0]
     b = jax.tree.leaves(z_state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_stage1_full_step_sharded_equals_unsharded():
+    """FULL stage-1 train step (codebook EMA + unused-code restart + LPIPS +
+    adaptive weight + discriminator BatchNorm batch_stats) with the batch
+    sharded over the 8-device data mesh must match the unsharded step —
+    batch statistics must be computed globally, not per-shard-averaged
+    (reference all_reduce semantics, quantizations.py:100-114; BN over the
+    full batch). GSPMD proves this for the jit path; the shard_map psum path
+    is covered by test_codebook_ema_psum_equals_global_batch."""
+    from test_trainers import make_stage1
+    from rqvae_tpu.trainers import trainer_stage1 as t1
+
+    model, disc, lpips, lpips_vars, tx, disc_tx, gan_cfg = make_stage1()
+    state = t1.init_state(
+        jax.random.PRNGKey(0), model, disc, tx, disc_tx, image_shape=(32, 32, 3)
+    )
+    step = jax.jit(
+        t1.make_train_step(
+            model, disc, lpips, lpips_vars, gan_cfg, tx, disc_tx,
+            use_discriminator=True,
+        )
+    )
+    B = 16
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(1), (B, 32, 32, 3)) * 2 - 1
+    }
+    ref_state, ref_metrics, ref_codes = step(state, batch, jax.random.PRNGKey(2))
+
+    mesh = mesh_lib.create_mesh(8, 1)
+    sharded_batch = {
+        "images": jax.device_put(batch["images"], NamedSharding(mesh, P("data")))
+    }
+    state_repl = jax.device_put(state, mesh_lib.replicated(mesh))
+    with mesh:
+        sh_state, sh_metrics, sh_codes = step(
+            state_repl, sharded_batch, jax.random.PRNGKey(2)
+        )
+
+    # codes: per-element argmin, no cross-batch reduction -> exact
+    np.testing.assert_array_equal(np.asarray(ref_codes), np.asarray(sh_codes))
+    # codebook EMA state: global-batch sums (reduction order differs between
+    # the GSPMD partitioning and the single-device program -> fp32 noise)
+    for name in ("embed", "cluster_size", "embed_ema"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sh_state.codebook["state"], name)),
+            np.asarray(getattr(ref_state.codebook["state"], name)),
+            rtol=1e-4, atol=1e-5, err_msg=f"codebook.{name} diverged under sharding",
+        )
+    # discriminator BN batch_stats: mean/var over the GLOBAL batch
+    for (pa, a), (_, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(sh_state.disc_batch_stats)),
+        sorted(jax.tree_util.tree_leaves_with_path(ref_state.disc_batch_stats)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=f"disc batch_stats {pa} diverged under sharding",
+        )
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(sh_metrics[k]), float(ref_metrics[k]), rtol=1e-4, atol=1e-5,
+            err_msg=f"metric {k} diverged under sharding",
+        )
+    # updated generator params agree
+    la = jax.tree.leaves(sh_state.params)
+    lb = jax.tree.leaves(ref_state.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -1,0 +1,208 @@
+"""Minimal torchvision stand-in (torch modules) for executing the reference
+eval nets in this torchvision-less environment.
+
+The reference FID inception subclasses `torchvision.models.inception.*`
+blocks and LPIPS wraps `torchvision.models.vgg16().features`
+(/root/reference/rqvae/metrics/inception.py:217-334,
+/root/reference/rqvae/losses/vqgan/lpips.py:84-107). This module implements
+exactly the constructors/forwards those subclasses rely on, from the public
+InceptionV3 (Szegedy et al. 2015) and VGG16 architecture specs — layer
+names, channel counts, and state_dict key layout match torchvision's so the
+reference classes and our weight converters both work unmodified.
+"""
+
+import sys
+import types
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+class BasicConv2d(nn.Module):
+    def __init__(self, in_channels, out_channels, **kwargs):
+        super().__init__()
+        self.conv = nn.Conv2d(in_channels, out_channels, bias=False, **kwargs)
+        self.bn = nn.BatchNorm2d(out_channels, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)), inplace=True)
+
+
+class InceptionA(nn.Module):
+    def __init__(self, in_channels, pool_features, conv_block=None):
+        super().__init__()
+        cb = conv_block or BasicConv2d
+        self.branch1x1 = cb(in_channels, 64, kernel_size=1)
+        self.branch5x5_1 = cb(in_channels, 48, kernel_size=1)
+        self.branch5x5_2 = cb(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = cb(in_channels, 64, kernel_size=1)
+        self.branch3x3dbl_2 = cb(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = cb(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = cb(in_channels, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+class InceptionB(nn.Module):
+    def __init__(self, in_channels, conv_block=None):
+        super().__init__()
+        cb = conv_block or BasicConv2d
+        self.branch3x3 = cb(in_channels, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = cb(in_channels, 64, kernel_size=1)
+        self.branch3x3dbl_2 = cb(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = cb(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = F.max_pool2d(x, kernel_size=3, stride=2)
+        return torch.cat([b3, bd, bp], 1)
+
+
+class InceptionC(nn.Module):
+    def __init__(self, in_channels, channels_7x7, conv_block=None):
+        super().__init__()
+        cb = conv_block or BasicConv2d
+        c7 = channels_7x7
+        self.branch1x1 = cb(in_channels, 192, kernel_size=1)
+        self.branch7x7_1 = cb(in_channels, c7, kernel_size=1)
+        self.branch7x7_2 = cb(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = cb(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = cb(in_channels, c7, kernel_size=1)
+        self.branch7x7dbl_2 = cb(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = cb(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = cb(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = cb(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = cb(in_channels, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(
+            self.branch7x7dbl_4(
+                self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))
+            )
+        )
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class InceptionD(nn.Module):
+    def __init__(self, in_channels, conv_block=None):
+        super().__init__()
+        cb = conv_block or BasicConv2d
+        self.branch3x3_1 = cb(in_channels, 192, kernel_size=1)
+        self.branch3x3_2 = cb(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = cb(in_channels, 192, kernel_size=1)
+        self.branch7x7x3_2 = cb(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = cb(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = cb(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(
+            self.branch7x7x3_3(self.branch7x7x3_2(self.branch7x7x3_1(x)))
+        )
+        bp = F.max_pool2d(x, kernel_size=3, stride=2)
+        return torch.cat([b3, b7, bp], 1)
+
+
+class InceptionE(nn.Module):
+    def __init__(self, in_channels, conv_block=None):
+        super().__init__()
+        cb = conv_block or BasicConv2d
+        self.branch1x1 = cb(in_channels, 320, kernel_size=1)
+        self.branch3x3_1 = cb(in_channels, 384, kernel_size=1)
+        self.branch3x3_2a = cb(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = cb(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = cb(in_channels, 448, kernel_size=1)
+        self.branch3x3dbl_2 = cb(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = cb(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = cb(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = cb(in_channels, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class Inception3(nn.Module):
+    """Attribute layout of torchvision Inception3 (only what the reference
+    wrapper reads — inception.py:86-131)."""
+
+    def __init__(self, num_classes=1000, **kwargs):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = InceptionA(192, pool_features=32)
+        self.Mixed_5c = InceptionA(256, pool_features=64)
+        self.Mixed_5d = InceptionA(288, pool_features=64)
+        self.Mixed_6a = InceptionB(288)
+        self.Mixed_6b = InceptionC(768, channels_7x7=128)
+        self.Mixed_6c = InceptionC(768, channels_7x7=160)
+        self.Mixed_6d = InceptionC(768, channels_7x7=160)
+        self.Mixed_6e = InceptionC(768, channels_7x7=192)
+        self.Mixed_7a = InceptionD(768)
+        self.Mixed_7b = InceptionE(1280)
+        self.Mixed_7c = InceptionE(2048)
+        self.fc = nn.Linear(2048, num_classes)
+
+
+def inception_v3(*args, **kwargs):
+    return Inception3(num_classes=kwargs.get("num_classes", 1000))
+
+
+class _VGG(nn.Module):
+    def __init__(self):
+        super().__init__()
+        # config "D": 64,64,M,128,128,M,256x3,M,512x3,M,512x3,M
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers = []
+        in_ch = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(kernel_size=2, stride=2))
+            else:
+                layers.append(nn.Conv2d(in_ch, v, kernel_size=3, padding=1))
+                layers.append(nn.ReLU(inplace=True))
+                in_ch = v
+        self.features = nn.Sequential(*layers)
+
+
+def vgg16(*args, **kwargs):
+    return _VGG()
+
+
+def install():
+    """Register this stub as `torchvision` in sys.modules; returns it."""
+    if "torchvision" in sys.modules:
+        return sys.modules["torchvision"]
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    inception = types.ModuleType("torchvision.models.inception")
+    for cls in (BasicConv2d, InceptionA, InceptionB, InceptionC, InceptionD,
+                InceptionE, Inception3):
+        setattr(inception, cls.__name__, cls)
+    models.inception = inception
+    models.inception_v3 = inception_v3
+    models.vgg16 = vgg16
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models.inception"] = inception
+    return tv

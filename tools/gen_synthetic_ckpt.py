@@ -1,0 +1,152 @@
+"""Generate tiny SYNTHETIC reference-format checkpoints (.pt + config.yaml)
+for the golden parity CLI (cli/parity_check.py), stage 1 and stage 2.
+
+Real released checkpoints are not downloadable in this zero-egress
+environment; these fixtures freeze a randomly-initialised torch reference
+model in the reference's on-disk layout so parity is checked against a
+COMMITTED artifact across rounds (VERDICT r1 weak #10). Default output:
+tests/goldens/synth_ckpt/{stage1,stage2}/model.pt.
+
+Run from the repo root: python tools/gen_synthetic_ckpt.py [outdir]
+"""
+
+import os
+import sys
+
+import numpy as np
+import torch
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+
+STAGE1_YAML = """\
+dataset:
+  type: imagenet
+  vocab_size: 64
+  transforms:
+    type: imagenet256x256
+
+arch:
+  type: rq-vae
+  code_hier: 1
+  hparams:
+    bottleneck_type: rq
+    embed_dim: 16
+    n_embed: 64
+    latent_shape: [ 8, 8, 16 ]
+    code_shape: [ 8, 8, 2 ]
+    shared_codebook: true
+    decay: 0.99
+    restart_unused_codes: true
+    loss_type: mse
+    latent_loss_weight: 0.25
+  ddconfig:
+    double_z: false
+    z_channels: 32
+    resolution: 64
+    in_channels: 3
+    out_ch: 3
+    ch: 32
+    ch_mult: [ 1, 2, 2, 2 ]
+    num_res_blocks: 1
+    attn_resolutions: [ 8 ]
+    dropout: 0.0
+  checkpointing: false
+"""
+
+STAGE2_YAML = """\
+dataset:
+  type: imagenet
+  vocab_size: 64
+  transforms:
+    type: imagenet256x256
+
+arch:
+  type: rq-transformer
+  vocab_size: 64
+  block_size: [ 8, 8, 2 ]
+  embed_dim: 64
+  input_embed_dim: 16
+  shared_tok_emb: true
+  shared_cls_emb: true
+  input_emb_vqvae: true
+  head_emb_vqvae: true
+  cumsum_depth_ctx: true
+  vocab_size_cond: 10
+  block_size_cond: 1
+  body:
+    n_layer: 2
+    block:
+      n_head: 4
+  head:
+    n_layer: 2
+    block:
+      n_head: 4
+
+vqvae:
+  ckpt: {vq_ckpt}
+"""
+
+
+def gen_stage1(outdir):
+    sys.path.insert(0, os.path.join(ROOT, "cli"))
+    from ref_loader import load_rqvae_modules
+    from parity_check import _build_ref
+    from rqvae_tpu.utils.config import Config
+
+    _, M, Q = load_rqvae_modules()
+    torch.manual_seed(0)
+    import yaml
+
+    cfg = yaml.safe_load(STAGE1_YAML)
+    hp = Config(cfg["arch"]["hparams"])
+    ref = _build_ref(M, Q, cfg["arch"]["ddconfig"], hp)
+    # non-degenerate codebook + EMA buffers
+    with torch.no_grad():
+        for buf_name, buf in ref.named_buffers():
+            if buf.dtype.is_floating_point:
+                buf.normal_(0.0, 0.5)
+    ref.eval()
+    os.makedirs(outdir, exist_ok=True)
+    torch.save({"state_dict": ref.state_dict(), "epoch": 0},
+               os.path.join(outdir, "model.pt"))
+    with open(os.path.join(outdir, "config.yaml"), "w") as f:
+        f.write(STAGE1_YAML)
+    print("stage-1 fixture:", os.path.join(outdir, "model.pt"))
+
+
+def gen_stage2(outdir, vq_ckpt):
+    from ref_loader import load_rqtransformer_modules
+    from test_rqtransformer_parity import make_ref_config
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+    import yaml
+
+    _, _, _, T = load_rqtransformer_modules()
+    torch.manual_seed(1)
+    yaml_text = STAGE2_YAML.format(vq_ckpt=vq_ckpt)
+    cfg = yaml.safe_load(yaml_text)
+    arch = augment_arch_defaults(Config(cfg["arch"])).to_dict()
+    arch["body"]["block"]["resid_pdrop"] = 0.0
+    arch["head"]["block"]["resid_pdrop"] = 0.0
+    ref = T.RQTransformer(make_ref_config(T, arch)).eval()
+    os.makedirs(outdir, exist_ok=True)
+    torch.save({"state_dict": ref.state_dict(), "epoch": 0},
+               os.path.join(outdir, "model.pt"))
+    with open(os.path.join(outdir, "config.yaml"), "w") as f:
+        f.write(yaml_text)
+    print("stage-2 fixture:", os.path.join(outdir, "model.pt"))
+
+
+def main():
+    base = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        ROOT, "tests", "goldens", "synth_ckpt"
+    )
+    s1 = os.path.join(base, "stage1")
+    s2 = os.path.join(base, "stage2")
+    gen_stage1(s1)
+    gen_stage2(s2, os.path.join(s1, "model.pt"))
+
+
+if __name__ == "__main__":
+    main()
