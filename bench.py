@@ -152,9 +152,11 @@ def main():
     def one_iter(key):
         codes = sample_fn(key)
         pixels = decode_fn(codes)
-        # tiny reductions force completion through the transfer (the axon
-        # tunnel does not honor block_until_ready)
-        return np.asarray(codes.sum()), np.asarray(pixels[:, ::64, ::64].mean())
+        # tiny on-device reductions; fetched once per LOOP (the reference
+        # times with CUDA events and synchronizes per loop, not per iter —
+        # measure_throughput/__main__.py:285-312 — so a per-iteration host
+        # round-trip would overstate our ms/sample through the tunnel)
+        return codes.sum(), pixels[:, ::64, ::64].mean()
 
     # warmup/compile
     t0 = time.time()
@@ -165,12 +167,23 @@ def main():
     _ = np.asarray(decode_fn(codes)[:, ::64, ::64].mean())
     print(f"# decode compile+run: {time.time()-t0:.1f} s", file=sys.stderr, flush=True)
 
+    # AR-only split: chained dispatch, one small fetch at the end
+    def ar_only(n):
+        outs = [sample_fn(jax.random.PRNGKey(5000 + i)) for i in range(n)]
+        return np.asarray(sum(o.sum() for o in outs))
+
+    ar_only(1)  # warm
     n_iters = max(1, N_SAMPLES // BATCH_SIZE)
+    t0 = time.time()
+    ar_only(n_iters)
+    ar_ms = (time.time() - t0) / (n_iters * BATCH_SIZE) * 1000
+    print(f"# AR-only: {ar_ms:.2f} ms/sample", file=sys.stderr, flush=True)
+
     speeds = []
     for loop in range(N_LOOPS):
         t0 = time.time()
-        for i in range(n_iters):
-            one_iter(jax.random.PRNGKey(loop * 1000 + i))
+        outs = [one_iter(jax.random.PRNGKey(loop * 1000 + i)) for i in range(n_iters)]
+        np.asarray(sum(a + b for a, b in outs))  # ONE sync per loop
         dt = time.time() - t0
         ms = dt / (n_iters * BATCH_SIZE) * 1000
         speeds.append(ms)
@@ -178,6 +191,33 @@ def main():
 
     value = min(speeds)
     baseline = A100_BASELINE_MS.get(BATCH_SIZE, A100_BASELINE_MS[100])
+
+    # HBM roofline of the AR pass for THIS implementation (v5e: 819 GB/s):
+    # per-layer weights (12*C^2), phased cache reads, head weights x D,
+    # classifier; see tools/perf_probe.py for the measured component split.
+    C = tconf.embed_dim
+    H, W, D = tconf.block_size
+    HW = H * W
+    bpe = 1 if os.environ.get("BENCH_INT8") else 2
+    body_w = tconf.body.n_layer * 12 * C * C * bpe * (HW - 1)
+    head_w = tconf.head.n_layer * 12 * C * C * bpe * D * HW
+    cls_w = C * 16384 * bpe * D * HW
+    n_steps, n_phases = HW - 1, 4
+    bounds = [round((HW - 1) * i / n_phases) for i in range(n_phases + 1)]
+    cache_rows = sum(
+        (bounds[p + 1] - bounds[p]) * min(HW, 1 + bounds[p + 1])
+        for p in range(n_phases)
+    )
+    cache_bytes = cache_rows * BATCH_SIZE * C * 2 * 2 * tconf.body.n_layer
+    ar_gb = (body_w + head_w + cls_w + cache_bytes) / 1e9
+    roofline_ms = ar_gb / 819.0 * 1000 / BATCH_SIZE
+    print(
+        f"# AR HBM traffic {ar_gb:.0f} GB/batch -> roofline {roofline_ms:.2f} "
+        f"ms/sample; achieved {ar_ms:.2f} ({roofline_ms / ar_ms * 100:.0f}% of "
+        f"819 GB/s peak)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -185,6 +225,10 @@ def main():
                 "value": round(value, 2),
                 "unit": "ms/sample",
                 "vs_baseline": round(baseline / value, 3),
+                "ar_ms": round(ar_ms, 2),
+                "decode_ms": round(value - ar_ms, 2),
+                "ar_roofline_ms": round(roofline_ms, 2),
+                "ar_hbm_gb_per_batch": round(ar_gb, 1),
             }
         )
     )

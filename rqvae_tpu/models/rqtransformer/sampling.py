@@ -220,10 +220,16 @@ def sample(
         + params["pos_emb_cond"][:, :cond_len]
     ).astype(dtype)
 
-    t_max = cond_len + HW  # one spare slot keeps the last step branch-free
-    body_kv = M.init_kv_cache(config.body, B, t_max, dtype)
-    h, body_kv = M.stack_step(
-        params["body"], conds_emb, body_kv, jnp.int32(0), config.body
+    # UNROLLED layer decode (separate per-layer caches): removes the
+    # per-layer cache-slice copy of the stacked-cache scan — measured
+    # 5.76 -> 5.19 ms/sample on the 1.4B body at bs100 (model.py notes)
+    body_lps = M.split_layer_params(params["body"], config.body)
+    head_lps = M.split_layer_params(params["head"], config.head)
+
+    t_max = cond_len + HW - 1  # the last position's k/v are never read
+    body_caches = M.init_unrolled_kv_cache(config.body, B, t_max, dtype)
+    h, body_caches = M.stack_step_unrolled(
+        body_lps, conds_emb, body_caches, jnp.int32(0), config.body
     )
     spatial_ctx = h[:, -1, :]  # [B, C]
 
@@ -233,52 +239,82 @@ def sample(
         vq_config.embed_dim if (config.head_emb_vqvae and vq_config is not None) else 1
     )
 
-    def make_step(window: int):
-        def step(carry, inputs):
-            rng, spatial_ctx, body_kv = carry
-            t, pos_row = inputs
-
-            raw_cum = jnp.zeros((B, raw_dim), jnp.float32)
-            body_sum = jnp.zeros((B, C), dtype)
-            codes_t = []
-
-            # incremental depth head: one row per depth step through a tiny
-            # D-slot KV cache (vs re-running the full D-row causal forward
-            # every step — 4x the head compute at D=4)
-            head_kv = M.init_kv_cache(config.head, B, D, dtype)
-            row = (spatial_ctx + pos_d[0])[:, None, :]
-            for d in range(D):
-                h, head_kv = M.stack_step(
-                    params["head"], row, head_kv, jnp.int32(d), config.head
-                )
-                logits = M.classifier_apply(params, config, h[:, 0, :], depth_idx=d)
-                rng, sub = jax.random.split(rng)
-                code_d = sample_from_logits_fast(
-                    sub, logits, temperature, top_k_list[d], top_p_list[d]
-                )
-                codes_t.append(code_d)
-                body_sum = body_sum + body_emb_of_code(d, code_d)
-                if d < D - 1:
-                    raw_cum, r = head_row_of_prefix(d, raw_cum, code_d)
-                    row = (r + pos_d[d + 1])[:, None, :]
-
-            u = (body_sum + pos_row)[:, None, :]  # [B, 1, C]
-            h, body_kv = M.stack_step(
-                params["body"], u, body_kv, cond_len + t, config.body, window=window
+    def depth_sample(rng, spatial_ctx):
+        """Sample the D residual codes for one spatial position through the
+        incremental depth head (tiny per-layer D-slot caches)."""
+        raw_cum = jnp.zeros((B, raw_dim), jnp.float32)
+        body_sum = jnp.zeros((B, C), dtype)
+        codes_t = []
+        head_caches = M.init_unrolled_kv_cache(config.head, B, D, dtype)
+        row = (spatial_ctx + pos_d[0])[:, None, :]
+        for d in range(D):
+            h, head_caches = M.stack_step_unrolled(
+                head_lps, row, head_caches, jnp.int32(d), config.head
             )
-            return (rng, h[:, 0, :], body_kv), jnp.stack(codes_t, axis=-1)
+            logits = M.classifier_apply(params, config, h[:, 0, :], depth_idx=d)
+            rng, sub = jax.random.split(rng)
+            code_d = sample_from_logits_fast(
+                sub, logits, temperature, top_k_list[d], top_p_list[d]
+            )
+            codes_t.append(code_d)
+            body_sum = body_sum + body_emb_of_code(d, code_d)
+            if d < D - 1:
+                raw_cum, r = head_row_of_prefix(d, raw_cum, code_d)
+                row = (r + pos_d[d + 1])[:, None, :]
+        return rng, jnp.stack(codes_t, axis=-1), body_sum
+
+    def make_step(window):
+        def step(carry, inputs):
+            rng, spatial_ctx, caches = carry
+            t, pos_row = inputs
+            rng, codes_t, body_sum = depth_sample(rng, spatial_ctx)
+            u = (body_sum + pos_row)[:, None, :]  # [B, 1, C]
+            h, caches = M.stack_step_unrolled(
+                body_lps, u, caches, cond_len + t, config.body, window=window
+            )
+            return (rng, h[:, 0, :], caches), codes_t
 
         return step
 
-    # NOTE: a bucketed variant (windowed KV reads growing per 16-position
-    # bucket) was measured SLOWER on v5e than one full-window scan (17.8 vs
-    # 15.8 ms/sample at bs100) — XLA pipelines the single-scan cache reads
-    # better than four separate scan bodies. Keeping the single scan.
-    (_, _, _), codes = jax.lax.scan(
-        make_step(None),
-        (rng, spatial_ctx, body_kv),
-        (jnp.arange(HW, dtype=jnp.int32), pos_hw),
-    )
+    # Phased position scan: early phases stream only a STATIC PREFIX of each
+    # per-layer cache (cache reads + score work scale with the window), later
+    # phases the full window. With the UNROLLED per-layer caches the static
+    # prefix slice fuses into the attention reads (no copy) — measured
+    # 5.26 -> 4.60 ms/sample body-only at 2 phases, bs100 1.4B (the round-1
+    # note about bucketing being slower applied to the STACKED-cache scan,
+    # whose windows still paid the per-layer dynamic-slice copy).
+    #
+    # The final position only needs its depth codes — the reference advances
+    # the body cache there too and throws the result away
+    # (transformers.py:345-365); the scans stop one step early and the last
+    # depth_sample runs outside (saves 1/64 of body decode compute).
+    import os as _os
+
+    n_steps = HW - 1
+    # default 2: measured AR ms/sample on the full 1.4B sampler at bs100:
+    # 1 phase 6.48, 2 phases 6.27, 3 phases 7.11 (more scan boundaries hurt
+    # pipelining more than the window saves); isolated body-only scans show
+    # a larger 2-phase win (5.26 -> 4.60) — the interleaved depth head
+    # dilutes it. Env knob for experiments.
+    n_phases = int(_os.environ.get("RQVAE_TPU_SAMPLE_PHASES", "2") or 2)
+    n_phases = min(max(1, n_phases), max(1, n_steps // 8))
+    bounds = [round(n_steps * i / n_phases) for i in range(n_phases + 1)]
+    carry = (rng, spatial_ctx, body_caches)
+    chunks = []
+    for p in range(n_phases):
+        s, e = bounds[p], bounds[p + 1]
+        if e <= s:
+            continue
+        window = min(t_max, cond_len + e)
+        carry, codes_p = jax.lax.scan(
+            make_step(window),
+            carry,
+            (jnp.arange(s, e, dtype=jnp.int32), pos_hw[s:e]),
+        )
+        chunks.append(codes_p)
+    rng, last_ctx, _ = carry
+    _, codes_last, _ = depth_sample(rng, last_ctx)
+    codes = jnp.concatenate(chunks + [codes_last[None]], axis=0)
     # codes: [HW, B, D] -> [B, H, W, D]
     return codes.transpose(1, 0, 2).reshape(B, H, W, D)
 

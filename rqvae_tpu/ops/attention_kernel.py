@@ -64,16 +64,22 @@ def _decode_attn_kernel_stacked(
 
 
 def _attn_math(cur_len, q, k_new, v_new, kc, vc, seg, y_ref, *, n_head, t_max):
+    """Compute dtype follows the cache dtype (bf16 on the fast path): scores
+    accumulate in fp32 via the seg-matrix MXU dot over bf16 products —
+    numerically identical to the XLA VPU path, which also forms bf16
+    products before its fp32-accumulated reduction (model.py
+    attention_decode). Softmax stays fp32. Avoiding full-tile fp32
+    conversions keeps VMEM/VPU traffic at ~2 passes per cache tensor (the
+    earlier all-fp32 kernel was VPU-bound and slower than XLA)."""
     BT, C = q.shape
     hs = C // n_head
     scale = 1.0 / np.sqrt(hs)
+    cd = kc.dtype
+    segc = seg.astype(cd)
 
-    q = q.astype(jnp.float32)  # [BT, C]
-    kc = kc.astype(jnp.float32)  # [BT, T, C]
-
-    prod = (kc * q[:, None, :]).reshape(BT * t_max, C)
+    prod = (kc * q[:, None, :].astype(cd)).reshape(BT * t_max, C)
     s_past = (
-        jnp.dot(prod, seg, preferred_element_type=jnp.float32).reshape(
+        jnp.dot(prod, segc, preferred_element_type=jnp.float32).reshape(
             BT, t_max, n_head
         )
         * scale
@@ -81,9 +87,10 @@ def _attn_math(cur_len, q, k_new, v_new, kc, vc, seg, y_ref, *, n_head, t_max):
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1)
     s_past = jnp.where(t_ids < cur_len, s_past, -jnp.inf)
 
-    k_new = k_new.astype(jnp.float32)
     s_self = (
-        jnp.dot(k_new * q, seg, preferred_element_type=jnp.float32)[:, None, :]
+        jnp.dot(
+            (k_new * q).astype(cd), segc, preferred_element_type=jnp.float32
+        )[:, None, :]
         * scale
     )  # [BT, 1, nh]
 
@@ -91,15 +98,20 @@ def _attn_math(cur_len, q, k_new, v_new, kc, vc, seg, y_ref, *, n_head, t_max):
     e_past = jnp.exp(s_past - m)
     e_self = jnp.exp(s_self - m)
     denom = jnp.sum(e_past, axis=1, keepdims=True) + e_self
-    w_past = e_past / denom  # [BT, T, nh]
-    w_self = e_self / denom  # [BT, 1, nh]
+    w_past = (e_past / denom).astype(cd)  # [BT, T, nh]
+    w_self = e_self / denom  # [BT, 1, nh] fp32 (tiny)
 
-    # broadcast weights back to lanes and reduce over T
-    w_lanes = jnp.dot(
-        w_past.reshape(BT * t_max, n_head), seg.T, preferred_element_type=jnp.float32
-    ).reshape(BT, t_max, C)
-    vc = vc.astype(jnp.float32)
-    y = jnp.sum(vc * w_lanes, axis=1)  # [BT, C]
+    # broadcast weights back to lanes and reduce over T (fp32 accumulation)
+    # Mosaic requires 32-bit matmul accumulation; cast down after
+    w_lanes = (
+        jnp.dot(
+            w_past.reshape(BT * t_max, n_head), segc.T,
+            preferred_element_type=jnp.float32,
+        )
+        .astype(cd)
+        .reshape(BT, t_max, C)
+    )
+    y = jnp.sum(vc * w_lanes, axis=1, dtype=jnp.float32)  # [BT, C]
     ws_lanes = jnp.dot(
         w_self[:, 0, :], seg.T, preferred_element_type=jnp.float32
     )  # [BT, C]

@@ -1,0 +1,65 @@
+"""Pallas decode-attention kernels (interpret mode on CPU).
+
+Status: the kernels are PARKED — measured slower than the XLA VPU path on
+v5e (fp32 version VPU-bound at 7.04 vs 5.77 ms/sample body-only; the bf16
+rewrite hits a Mosaic internal error on the [BT*T, nh] reshape when compiled
+for real hardware). The production decode path is `stack_step_unrolled`
+(model.py). These tests pin the kernels' MATH so they stay correct while
+parked (interpret mode sidesteps the Mosaic compile bug).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rqvae_tpu.ops.attention_kernel import decode_attention, decode_attention_stacked
+
+B, T, C, NH, HS = 8, 17, 256, 4, 64
+
+
+def reference_attention(q, kn, vn, kc, vc, cur):
+    qf, knf, vnf = (np.asarray(a, np.float32) for a in (q, kn, vn))
+    kcf, vcf = (np.asarray(a, np.float32) for a in (kc, vc))
+    scale = 1.0 / np.sqrt(HS)
+    s_past = (kcf * qf[:, None, :]).reshape(B, T, NH, HS).sum(-1) * scale
+    s_past[:, cur:, :] = -np.inf
+    s_self = (knf * qf).reshape(B, NH, HS).sum(-1)[:, None, :] * scale
+    s = np.concatenate([s_past, s_self], 1)
+    e = np.exp(s - s.max(1, keepdims=True))
+    w = e / e.sum(1, keepdims=True)
+    v_all = np.concatenate([vcf.reshape(B, T, NH, HS), vnf.reshape(B, 1, NH, HS)], 1)
+    return (v_all * w[..., None]).sum(1).reshape(B, C)
+
+
+@pytest.mark.parametrize("dt,tol", [(jnp.float32, 1e-4), (jnp.bfloat16, 0.05)])
+def test_decode_attention_matches_reference(dt, tol):
+    r = np.random.RandomState(0)
+    q = jnp.asarray(r.randn(B, C), dt)
+    kn = jnp.asarray(r.randn(B, C), dt)
+    vn = jnp.asarray(r.randn(B, C), dt)
+    kc = jnp.asarray(r.randn(B, T, C), dt)
+    vc = jnp.asarray(r.randn(B, T, C), dt)
+    y = np.asarray(
+        decode_attention(q, kn, vn, kc, vc, jnp.int32(9), NH, interpret=True),
+        np.float32,
+    )
+    yref = reference_attention(q, kn, vn, kc, vc, 9)
+    assert np.abs(y - yref).max() < tol
+
+
+def test_stacked_variant_selects_layer_without_copy_semantics():
+    L = 3
+    r = np.random.RandomState(1)
+    q = jnp.asarray(r.randn(B, C).astype(np.float32))
+    kn = jnp.asarray(r.randn(B, C).astype(np.float32))
+    vn = jnp.asarray(r.randn(B, C).astype(np.float32))
+    kc = jnp.asarray(r.randn(L, B, T, C).astype(np.float32))
+    vc = jnp.asarray(r.randn(L, B, T, C).astype(np.float32))
+    for l in range(L):
+        y1 = decode_attention(q, kn, vn, kc[l], vc[l], jnp.int32(9), NH, interpret=True)
+        y2 = decode_attention_stacked(
+            q, kn, vn, kc, vc, jnp.int32(l), jnp.int32(9), NH, b_tile=8, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)

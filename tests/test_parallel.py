@@ -196,13 +196,14 @@ def test_stage1_full_step_sharded_equals_unsharded():
             rtol=1e-4, atol=1e-5, err_msg=f"codebook.{name} diverged under sharding",
         )
     # discriminator BN batch_stats: mean/var over the GLOBAL batch
-    for (pa, a), (_, b) in zip(
-        sorted(jax.tree_util.tree_leaves_with_path(sh_state.disc_batch_stats)),
-        sorted(jax.tree_util.tree_leaves_with_path(ref_state.disc_batch_stats)),
+    # (identical treedefs -> leaves align without sorting)
+    for a, b in zip(
+        jax.tree.leaves(sh_state.disc_batch_stats),
+        jax.tree.leaves(ref_state.disc_batch_stats),
     ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
-            err_msg=f"disc batch_stats {pa} diverged under sharding",
+            err_msg="disc batch_stats diverged under sharding",
         )
     for k in ref_metrics:
         np.testing.assert_allclose(

@@ -397,3 +397,52 @@ def test_int8_weight_only_quantization_accuracy():
         top_k=8, top_p=0.9,
     )
     assert codes.shape == (2, H, W, D)
+
+
+def test_unrolled_stack_step_equals_stacked():
+    """stack_step_unrolled (per-layer caches, the sampler's decode path)
+    must match stack_step on the stacked cache for prefill and decode."""
+    from rqvae_tpu.models.rqtransformer.config import StackConfig
+
+    cfg = StackConfig(n_layer=3, n_head=4, embed_dim=64, resid_pdrop=0.0)
+    params = M.init_stack_params(jax.random.PRNGKey(0), cfg)
+    lps = M.split_layer_params(params, cfg)
+    B, t_max, S0 = 2, 9, 3
+
+    cache = M.init_kv_cache(cfg, B, t_max)
+    caches = M.init_unrolled_kv_cache(cfg, B, t_max)
+
+    # prefill S0 rows, then 4 single-token decode steps
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S0, 64))
+    h_a, cache = M.stack_step(params, x, cache, jnp.int32(0), cfg)
+    h_b, caches = M.stack_step_unrolled(lps, x, caches, jnp.int32(0), cfg)
+    np.testing.assert_allclose(np.asarray(h_b), np.asarray(h_a), rtol=1e-5, atol=1e-5)
+
+    for t in range(S0, S0 + 4):
+        xt = jax.random.normal(jax.random.PRNGKey(10 + t), (B, 1, 64))
+        h_a, cache = M.stack_step(params, xt, cache, jnp.int32(t), cfg)
+        h_b, caches = M.stack_step_unrolled(lps, xt, caches, jnp.int32(t), cfg)
+        np.testing.assert_allclose(
+            np.asarray(h_b), np.asarray(h_a), rtol=1e-5, atol=1e-5
+        )
+    for i in range(cfg.n_layer):
+        np.testing.assert_allclose(
+            np.asarray(caches[i][0]), np.asarray(cache.k[i]), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(caches[i][1]), np.asarray(cache.v[i]), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_sample_last_position_uses_no_body_advance():
+    """The sampler's codes must be invariant to the optimisation that skips
+    the final body advance: all positions' codes remain valid and the RNG
+    stream is threaded identically (deterministic same-seed repeat)."""
+    _, config, params, _, vq_state, vq_config = build_pair(ARCH_VQVAE)
+    a = S.sample(params, config, jax.random.PRNGKey(3), 2,
+                 cond=jnp.asarray([0, 1]), vq_state=vq_state, vq_config=vq_config,
+                 top_k=8, top_p=0.9)
+    b = S.sample(params, config, jax.random.PRNGKey(3), 2,
+                 cond=jnp.asarray([0, 1]), vq_state=vq_state, vq_config=vq_config,
+                 top_k=8, top_p=0.9)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -237,7 +237,9 @@ def main():
            "body-only fused-qkv 64 steps")
 
     # body variant: Pallas decode attention reading the FULL stacked cache
-    # (no per-layer dynamic-slice copy)
+    # (no per-layer dynamic-slice copy). Parked: Mosaic internal errors on
+    # the bf16 reshape path and the fp32 version is VPU-bound (slower than
+    # XLA); gate behind PROBE_KERNELS.
     from rqvae_tpu.ops.attention_kernel import decode_attention_stacked
 
     # Pallas wants batch tiles divisible by 8: pad the whole body batch once
@@ -278,9 +280,10 @@ def main():
         (h, _), _ = jax.lax.scan(step, (x0, kv), jnp.arange(HW, dtype=jnp.int32))
         return h.sum()
 
-    fetch(body_kernel_attn(params["body"], jax.random.PRNGKey(0)))
-    timeit(lambda: fetch(body_kernel_attn(params["body"], jax.random.PRNGKey(1))), 3,
-           f"body-only pallas-stacked-attn (b_tile={B_TILE}) 64 steps")
+    if os.environ.get("PROBE_KERNELS"):
+        fetch(body_kernel_attn(params["body"], jax.random.PRNGKey(0)))
+        timeit(lambda: fetch(body_kernel_attn(params["body"], jax.random.PRNGKey(1))), 3,
+               f"body-only pallas-stacked-attn (b_tile={B_TILE}) 64 steps")
 
     # body variant: MXU einsum attention (head-split views, S=1)
     @jax.jit
@@ -398,6 +401,113 @@ def main():
         print(f"# body-unrolled compile+run: {time.time()-t0:.1f} s", flush=True)
         timeit(lambda: fetch(body_unrolled(params["body"], jax.random.PRNGKey(1))), 3,
                "body-only UNROLLED per-layer caches 64 steps")
+
+        # UNROLLED + per-layer Pallas kernel (bf16 dataflow, no slicing)
+        from rqvae_tpu.ops.attention_kernel import decode_attention
+
+        @jax.jit
+        def body_unrolled_kernel(p, key):
+            x0 = jax.random.normal(key, (BSP, 1, C), dtype)
+            caches = tuple(
+                (jnp.zeros((BSP, t_max, C), dtype), jnp.zeros((BSP, t_max, C), dtype))
+                for _ in range(L)
+            )
+            lps = [jax.tree.map(lambda a, i=i: a[i], p) for i in range(L)]
+
+            def layer(x, lp, k_l, v_l, t):
+                h = M.layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
+                q = (h @ lp["attn"]["wq"] + lp["attn"]["bq"])[:, 0]
+                k = (h @ lp["attn"]["wk"] + lp["attn"]["bk"])[:, 0]
+                v = (h @ lp["attn"]["wv"] + lp["attn"]["bv"])[:, 0]
+                y = decode_attention(q, k, v, k_l, v_l, t, cfg.n_head, b_tile=8)[:, None, :]
+                x = x + (y @ lp["attn"]["wo"] + lp["attn"]["bo"])
+                h2 = M.layer_norm(x, lp["ln2"]["scale"], lp["ln2"]["bias"])
+                m = M.gelu(h2 @ lp["mlp"]["w1"] + lp["mlp"]["b1"], cfg.gelu) @ lp["mlp"]["w2"] + lp["mlp"]["b2"]
+                return x + m, k, v
+
+            def step(carry, t):
+                x, caches = carry
+                new_caches = []
+                for i in range(L):
+                    k_l, v_l = caches[i]
+                    x, k, v = layer(x, lps[i], k_l, v_l, t)
+                    new_caches.append((
+                        jax.lax.dynamic_update_slice(k_l, k[:, None, :].astype(k_l.dtype), (0, t, 0)),
+                        jax.lax.dynamic_update_slice(v_l, v[:, None, :].astype(v_l.dtype), (0, t, 0)),
+                    ))
+                return (x, tuple(new_caches)), ()
+
+            (h, _), _ = jax.lax.scan(step, (x0, caches), jnp.arange(HW, dtype=jnp.int32))
+            return h.sum()
+
+        if os.environ.get("PROBE_KERNELS"):
+            t0 = time.time()
+            fetch(body_unrolled_kernel(params["body"], jax.random.PRNGKey(0)))
+            print(f"# body-unrolled-kernel compile+run: {time.time()-t0:.1f} s", flush=True)
+            timeit(lambda: fetch(body_unrolled_kernel(params["body"], jax.random.PRNGKey(1))), 3,
+                   "body-only UNROLLED + pallas-bf16-attn 64 steps")
+
+        # UNROLLED + 2-phase window: positions 0..31 read a STATIC 33-slot
+        # prefix of each cache (no copy — static slice), rest full window
+        @jax.jit
+        def body_unrolled_2phase(p, key):
+            x0 = jax.random.normal(key, (BS, 1, C), dtype)
+            caches = tuple(
+                (jnp.zeros((BS, t_max, C), dtype), jnp.zeros((BS, t_max, C), dtype))
+                for _ in range(L)
+            )
+            lps2 = [jax.tree.map(lambda a, i=i: a[i], p) for i in range(L)]
+
+            def make_step(win):
+                def step(carry, t):
+                    x, caches = carry
+                    past_mask_t1 = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) < t
+                    new_caches = []
+                    for i in range(L):
+                        k_l, v_l = caches[i]
+                        h = M.layer_norm(x, lps2[i]["ln1"]["scale"], lps2[i]["ln1"]["bias"])
+                        q = (h @ lps2[i]["attn"]["wq"] + lps2[i]["attn"]["bq"])
+                        k = (h @ lps2[i]["attn"]["wk"] + lps2[i]["attn"]["bk"])
+                        v = (h @ lps2[i]["attn"]["wv"] + lps2[i]["attn"]["bv"])
+                        n_head, hs = cfg.n_head, C // cfg.n_head
+                        import numpy as np_
+                        scale = 1.0 / np_.sqrt(hs)
+                        prod = (k_l[:, :win] * q).reshape(BS, win, n_head, hs)
+                        s_past = jnp.sum(prod, axis=-1, dtype=jnp.float32) * scale
+                        s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
+                        s_self = jnp.sum((k * q).reshape(BS, 1, n_head, hs), axis=-1,
+                                         dtype=jnp.float32) * scale
+                        s = jnp.concatenate([s_past, s_self], axis=1)
+                        p_att = jax.nn.softmax(s, axis=1)
+                        w_past = p_att[:, :win].astype(v_l.dtype)
+                        w_self = p_att[:, win:].astype(v.dtype)
+                        y = jnp.sum(v_l[:, :win].reshape(BS, win, n_head, hs) * w_past[..., None], axis=1)
+                        y = y + (v.reshape(BS, 1, n_head, hs) * w_self[..., None])[:, 0]
+                        y = y.reshape(BS, 1, C)
+                        x2 = x + (y @ lps2[i]["attn"]["wo"] + lps2[i]["attn"]["bo"])
+                        h2 = M.layer_norm(x2, lps2[i]["ln2"]["scale"], lps2[i]["ln2"]["bias"])
+                        m = M.gelu(h2 @ lps2[i]["mlp"]["w1"] + lps2[i]["mlp"]["b1"], cfg.gelu) @ lps2[i]["mlp"]["w2"] + lps2[i]["mlp"]["b2"]
+                        x = x2 + m
+                        new_caches.append((
+                            jax.lax.dynamic_update_slice(k_l, k.astype(k_l.dtype), (0, t, 0)),
+                            jax.lax.dynamic_update_slice(v_l, v.astype(v_l.dtype), (0, t, 0)),
+                        ))
+                    return (x, tuple(new_caches)), ()
+                return step
+
+            half = HW // 2
+            (x1, caches), _ = jax.lax.scan(
+                make_step(half + 1), (x0, caches), jnp.arange(half, dtype=jnp.int32))
+            (h, _), _ = jax.lax.scan(
+                make_step(t_max), (x1, caches),
+                jnp.arange(half, HW, dtype=jnp.int32))
+            return h.sum()
+
+        t0 = time.time()
+        fetch(body_unrolled_2phase(params["body"], jax.random.PRNGKey(0)))
+        print(f"# body-unrolled-2phase compile+run: {time.time()-t0:.1f} s", flush=True)
+        timeit(lambda: fetch(body_unrolled_2phase(params["body"], jax.random.PRNGKey(1))), 3,
+               "body-only UNROLLED 2-phase window 64 steps")
 
     if "--trace" in sys.argv:
         os.makedirs("/tmp/jax_trace", exist_ok=True)
