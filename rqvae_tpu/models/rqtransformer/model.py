@@ -466,6 +466,8 @@ def stack_step_unrolled(
     (>= cur_len + 1 for every step it serves) bounds how much of each cache
     attention streams — the sampler phases its position scan so early
     positions read a fraction of the full cache."""
+    if not layer_params:  # 0-layer stacks (VQGAN-equivalent d=1: no head)
+        return x, caches
     B, S, C = x.shape
     n_head = cfg.n_head
     hs = C // n_head

@@ -222,15 +222,56 @@ def sample(
 
     # UNROLLED layer decode (separate per-layer caches): removes the
     # per-layer cache-slice copy of the stacked-cache scan — measured
-    # 5.76 -> 5.19 ms/sample on the 1.4B body at bs100 (model.py notes)
-    body_lps = M.split_layer_params(params["body"], config.body)
-    head_lps = M.split_layer_params(params["head"], config.head)
+    # 5.76 -> 5.19 ms/sample on the 1.4B body at bs100 (model.py notes).
+    # At LONG spatial sequences the unrolled form backfires (f16-d1:
+    # 255 steps x 48 layers measured 129 vs 65 ms/sample stacked — XLA
+    # stops aliasing the many separate cache buffers in place), so fall
+    # back to the stacked-cache scan beyond 128 positions.
+    import os as _os
 
-    t_max = cond_len + HW - 1  # the last position's k/v are never read
-    body_caches = M.init_unrolled_kv_cache(config.body, B, t_max, dtype)
-    h, body_caches = M.stack_step_unrolled(
-        body_lps, conds_emb, body_caches, jnp.int32(0), config.body
+    _unroll_env = _os.environ.get("RQVAE_TPU_SAMPLE_UNROLL", "")
+    use_unrolled = (
+        {"1": True, "0": False}[_unroll_env] if _unroll_env in ("0", "1")
+        else HW <= 128
     )
+
+    if use_unrolled:
+        t_max = cond_len + HW - 1  # the last position's k/v are never read
+        body_lps = M.split_layer_params(params["body"], config.body)
+        head_lps = M.split_layer_params(params["head"], config.head)
+        body_caches = M.init_unrolled_kv_cache(config.body, B, t_max, dtype)
+
+        def body_step(x, caches, cur_len, window=None):
+            return M.stack_step_unrolled(
+                body_lps, x, caches, cur_len, config.body, window=window
+            )
+
+        def head_step(row, caches, cur_len):
+            return M.stack_step_unrolled(head_lps, row, caches, cur_len, config.head)
+
+        def init_head_caches():
+            return M.init_unrolled_kv_cache(config.head, B, D, dtype)
+    else:
+        # r1 structure preserved EXACTLY (one spare cache slot, one scan
+        # over all HW steps, no window arg): restructuring the stacked path
+        # like the unrolled one (HW-1 steps + final depth-only sample)
+        # measured 63 -> 155 ms/sample AR on f16-d1 — XLA's scan pipelining
+        # of the stacked cache is brittle to the shape change.
+        t_max = cond_len + HW
+        body_caches = M.init_kv_cache(config.body, B, t_max, dtype)
+
+        def body_step(x, caches, cur_len, window=None):
+            return M.stack_step(
+                params["body"], x, caches, cur_len, config.body, window=window
+            )
+
+        def head_step(row, caches, cur_len):
+            return M.stack_step(params["head"], row, caches, cur_len, config.head)
+
+        def init_head_caches():
+            return M.init_kv_cache(config.head, B, D, dtype)
+
+    h, body_caches = body_step(conds_emb, body_caches, jnp.int32(0))
     spatial_ctx = h[:, -1, :]  # [B, C]
 
     pos_hw = params["pos_emb_hw"][0].astype(dtype)  # [HW, C]
@@ -245,12 +286,10 @@ def sample(
         raw_cum = jnp.zeros((B, raw_dim), jnp.float32)
         body_sum = jnp.zeros((B, C), dtype)
         codes_t = []
-        head_caches = M.init_unrolled_kv_cache(config.head, B, D, dtype)
+        head_caches = init_head_caches()
         row = (spatial_ctx + pos_d[0])[:, None, :]
         for d in range(D):
-            h, head_caches = M.stack_step_unrolled(
-                head_lps, row, head_caches, jnp.int32(d), config.head
-            )
+            h, head_caches = head_step(row, head_caches, jnp.int32(d))
             logits = M.classifier_apply(params, config, h[:, 0, :], depth_idx=d)
             rng, sub = jax.random.split(rng)
             code_d = sample_from_logits_fast(
@@ -269,9 +308,7 @@ def sample(
             t, pos_row = inputs
             rng, codes_t, body_sum = depth_sample(rng, spatial_ctx)
             u = (body_sum + pos_row)[:, None, :]  # [B, 1, C]
-            h, caches = M.stack_step_unrolled(
-                body_lps, u, caches, cond_len + t, config.body, window=window
-            )
+            h, caches = body_step(u, caches, cond_len + t, window=window)
             return (rng, h[:, 0, :], caches), codes_t
 
         return step
@@ -288,7 +325,14 @@ def sample(
     # the body cache there too and throws the result away
     # (transformers.py:345-365); the scans stop one step early and the last
     # depth_sample runs outside (saves 1/64 of body decode compute).
-    import os as _os
+    if not use_unrolled:
+        # r1 single full scan (see note above): all HW steps advance the body
+        (_, _, _), codes = jax.lax.scan(
+            make_step(None),
+            (rng, spatial_ctx, body_caches),
+            (jnp.arange(HW, dtype=jnp.int32), pos_hw),
+        )
+        return codes.transpose(1, 0, 2).reshape(B, H, W, D)
 
     n_steps = HW - 1
     # default 2: measured AR ms/sample on the full 1.4B sampler at bs100:

@@ -446,3 +446,30 @@ def test_sample_last_position_uses_no_body_advance():
                  cond=jnp.asarray([0, 1]), vq_state=vq_state, vq_config=vq_config,
                  top_k=8, top_p=0.9)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_d1_no_head_layers():
+    """VQGAN-equivalent geometry: depth 1 with a 0-layer head (the
+    classifier reads the spatial context row directly) must sample
+    (measure_throughput f16-d1 path; regression for the unrolled step's
+    empty-layer-list handling)."""
+    arch = dict(
+        type="rq-transformer", vocab_size=32, block_size=[4, 4, 1], embed_dim=64,
+        input_embed_dim=16, shared_tok_emb=True, shared_cls_emb=True,
+        input_emb_vqvae=True, head_emb_vqvae=True, cumsum_depth_ctx=True,
+        vocab_size_cond=10, block_size_cond=1,
+        body={"n_layer": 2, "block": {"n_head": 4}},
+        head={"n_layer": 0, "block": {"n_head": 4}},
+    )
+    config = TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
+    params = M.init_transformer_params(jax.random.PRNGKey(0), config)
+    vq_config = rq.QuantizerConfig.create(
+        (4, 4, 16), (4, 4, 1), 32, shared_codebook=True
+    )
+    vq_state = rq.init_codebook_state(jax.random.PRNGKey(1), vq_config)
+    codes = S.sample(
+        params, config, jax.random.PRNGKey(2), 2, cond=jnp.asarray([0, 1]),
+        vq_state=vq_state, vq_config=vq_config, top_k=8,
+    )
+    assert codes.shape == (2, 4, 4, 1)
+    assert int(codes.min()) >= 0 and int(codes.max()) < 32
