@@ -1,0 +1,156 @@
+"""On-chip training-step probe: stage-1 (100M RQ-VAE + VQGAN losses) and
+stage-2 (480M RQ-Transformer) step time at 256px, bs16 — the COVERAGE
+"img/s/chip" numbers, measured with chained dispatch (no per-step sync).
+
+Usage: python tools/train_probe.py [stage1|stage2|both]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BS = int(os.environ.get("PROBE_BS", "16"))
+
+
+def fetch(x):
+    return np.asarray(x)
+
+
+def stage1():
+    from rqvae_tpu.losses.discriminator import NLayerDiscriminator
+    from rqvae_tpu.losses.lpips import LPIPS, init_lpips
+    from rqvae_tpu.models.rqvae.model import RQVAE, RQVAEHParams
+    from rqvae_tpu.models.rqvae.modules import DDConfig
+    from rqvae_tpu.optim.optimizer import create_optimizer
+    from rqvae_tpu.optim.schedule import create_schedule
+    from rqvae_tpu.trainers import trainer_stage1 as t1
+
+    dd = DDConfig.create(
+        dict(double_z=False, z_channels=256, resolution=256, in_channels=3,
+             out_ch=3, ch=128, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
+             attn_resolutions=[8], dropout=0.0)
+    )
+    hp = RQVAEHParams.create(
+        dict(embed_dim=256, n_embed=16384, loss_type="mse",
+             latent_shape=[8, 8, 256], code_shape=[8, 8, 4],
+             shared_codebook=True, restart_unused_codes=True)
+    )
+    model = RQVAE(hparams=hp, ddconfig=dd, use_kernel=True)
+    disc = NLayerDiscriminator()
+    lpips = LPIPS()
+    lpips_vars = init_lpips()
+    sched = create_schedule(
+        base_lr=4e-5,
+        warmup_config={"epoch": 0, "mode": "fix", "multiplier": 1, "min_lr": 4e-5},
+        steps_per_epoch=1000, max_epoch=10,
+    )
+    tx = create_optimizer({"type": "adam", "betas": [0.5, 0.9], "weight_decay": 0.0}, sched)
+    dtx = create_optimizer({"type": "adam", "betas": [0.5, 0.9], "weight_decay": 0.0}, sched)
+
+    t0 = time.time()
+    state = t1.init_state(jax.random.PRNGKey(0), model, disc, tx, dtx,
+                          image_shape=(256, 256, 3))
+    print(f"# stage1 init: {time.time()-t0:.1f}s", flush=True)
+    step = jax.jit(
+        t1.make_train_step(model, disc, lpips, lpips_vars,
+                           t1.GanLossConfig(disc_start=0), tx, dtx,
+                           use_discriminator=True),
+        donate_argnums=(0,),
+    )
+    batch = {"images": jax.random.uniform(jax.random.PRNGKey(1), (BS, 256, 256, 3)) * 2 - 1}
+    rng = jax.random.PRNGKey(2)
+    t0 = time.time()
+    state, metrics, _ = step(state, batch, rng)
+    fetch(metrics["loss_total"])
+    print(f"# stage1 compile+first step: {time.time()-t0:.1f}s", flush=True)
+    N = 8
+    t0 = time.time()
+    for _ in range(N):
+        state, metrics, _ = step(state, batch, rng)
+    fetch(metrics["loss_total"])
+    dt = (time.time() - t0) / N
+    print(f"# stage1 step (bs{BS}): {dt*1000:.1f} ms -> {BS/dt:.1f} img/s/chip", flush=True)
+
+
+def stage2():
+    import optax
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+    from rqvae_tpu.models.rqvae.model import RQVAE, RQVAEHParams
+    from rqvae_tpu.models.rqvae.modules import DDConfig
+    from rqvae_tpu.ops import quantize as rq
+    from rqvae_tpu.trainers import trainer_stage2 as t2
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+    dd = DDConfig.create(
+        dict(double_z=False, z_channels=256, resolution=256, in_channels=3,
+             out_ch=3, ch=128, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
+             attn_resolutions=[8], dropout=0.0)
+    )
+    hp = RQVAEHParams.create(
+        dict(embed_dim=256, n_embed=16384, loss_type="mse",
+             latent_shape=[8, 8, 256], code_shape=[8, 8, 4],
+             shared_codebook=True, restart_unused_codes=False)
+    )
+    vqvae = RQVAE(hparams=hp, ddconfig=dd, use_kernel=True)
+    x0 = jnp.zeros((1, 256, 256, 3))
+    vq_vars = vqvae.init(
+        {"params": jax.random.PRNGKey(0), "quantizer": jax.random.PRNGKey(1)}, x0
+    )
+
+    def encode_fn(images):
+        return vqvae.apply(vq_vars, images, method=RQVAE.encode)
+
+    arch = dict(
+        type="rq-transformer", vocab_size=16384, block_size=[8, 8, 4],
+        embed_dim=1024, input_embed_dim=256, shared_tok_emb=True,
+        shared_cls_emb=True, input_emb_vqvae=True, head_emb_vqvae=True,
+        cumsum_depth_ctx=True, vocab_size_cond=1000, block_size_cond=1,
+        body={"n_layer": 24, "block": {"n_head": 16}},
+        head={"n_layer": 4, "block": {"n_head": 16}},
+    )
+    tconf = TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(5e-4, b1=0.9, b2=0.95, weight_decay=1e-4))
+    t0 = time.time()
+    state = t2.init_state(jax.random.PRNGKey(2), tconf, tx, use_ema=True)
+    print(f"# stage2 init: {time.time()-t0:.1f}s", flush=True)
+    step = jax.jit(
+        t2.make_train_step(
+            tconf, t2.Stage2LossConfig(use_soft_target=True, temp=0.5,
+                                       stochastic_codes=True),
+            tx, encode_fn=encode_fn,
+            vq_state=vq_vars["codebook"]["state"], vq_config=vqvae.quantizer_config,
+            ema_mu=0.9999,
+        ),
+        donate_argnums=(0,),
+    )
+    batch = {
+        "images": jax.random.uniform(jax.random.PRNGKey(3), (BS, 256, 256, 3)) * 2 - 1,
+        "cond": jnp.zeros((BS,), jnp.int32),
+    }
+    rng = jax.random.PRNGKey(4)
+    t0 = time.time()
+    state, metrics = step(state, batch, rng)
+    fetch(metrics["loss_total"])
+    print(f"# stage2 compile+first step: {time.time()-t0:.1f}s", flush=True)
+    N = 8
+    t0 = time.time()
+    for _ in range(N):
+        state, metrics = step(state, batch, rng)
+    fetch(metrics["loss_total"])
+    dt = (time.time() - t0) / N
+    print(f"# stage2 step (bs{BS}): {dt*1000:.1f} ms -> {BS/dt:.1f} img/s/chip", flush=True)
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if what in ("stage1", "both"):
+        stage1()
+    if what in ("stage2", "both"):
+        stage2()
