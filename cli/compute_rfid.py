@@ -25,6 +25,7 @@ def main():
     p.add_argument("-m", "--model-path", type=str, required=True)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--split", type=str, default="val")
+    p.add_argument("--root", type=str, default="", help="dataset root override")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -33,6 +34,8 @@ def main():
     config = augment_defaults(config)
     if "experiment" not in config:
         config.experiment = {"total_batch_size": args.batch_size}
+    if args.root:
+        config.dataset.root = args.root
     trn, val = create_dataset(config, is_eval=True)
     dataset = val if args.split == "val" else trn
 

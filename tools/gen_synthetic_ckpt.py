@@ -53,6 +53,25 @@ arch:
     attn_resolutions: [ 8 ]
     dropout: 0.0
   checkpointing: false
+
+optimizer:
+  type: adam
+  init_lr: 4.0e-5
+  weight_decay: 0.0
+  betas: [0.5, 0.9]
+  warmup:
+    epoch: 0.5
+    multiplier: 1
+    buffer_epoch: 0.0
+    min_lr: 4.0e-5
+    mode: fix
+    start_from_zero: True
+
+experiment:
+  batch_size: 4
+  epochs: 2
+  save_ckpt_freq: 1
+  test_freq: 1
 """
 
 STAGE2_YAML = """\
