@@ -11,6 +11,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("RQVAE_TPU_CPU"):
+    # force-CPU knob for tests/CI subprocesses: the container pins the TPU
+    # backend via jax.config.update, which ignores JAX_PLATFORMS (CLAUDE.md)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from rqvae_tpu.models import load_rqtransformer, load_rqvae  # noqa: E402
 from rqvae_tpu.utils.config import augment_arch_defaults, load_config  # noqa: E402
 

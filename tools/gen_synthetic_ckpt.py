@@ -157,6 +157,75 @@ def gen_stage2(outdir, vq_ckpt):
     print("stage-2 fixture:", os.path.join(outdir, "model.pt"))
 
 
+T2I_YAML = """\
+dataset:
+  dataset: cc3m
+  txt_tok_name: bpe16k_huggingface
+  vocab_size_txt: 16384
+  vocab_size: 64
+  image_resolution: 64
+  context_length: 32
+  transforms: dalle-vqvae
+  bpe_dropout: 0.1
+
+arch:
+  type: rq-transformer
+  vocab_size: 64
+  block_size: [ 8, 8, 2 ]
+  embed_dim: 64
+  input_embed_dim: 16
+  shared_tok_emb: true
+  shared_cls_emb: true
+  input_emb_vqvae: true
+  head_emb_vqvae: true
+  cumsum_depth_ctx: true
+  vocab_size_cond: 16384
+  block_size_cond: 32
+  body:
+    n_layer: 2
+    block:
+      n_head: 4
+  head:
+    n_layer: 2
+    block:
+      n_head: 4
+
+loss:
+  type: soft_target_cross_entropy
+  stochastic_codes: true
+  temp: 0.5
+  txt_weight: 0.1
+  img_weight: 0.9
+
+vqvae:
+  ckpt: {vq_ckpt}
+"""
+
+
+def gen_t2i(outdir, vq_ckpt):
+    """Tiny TEXT-conditional stage-2 fixture (cc3m-style: bpe16k cond vocab,
+    32-token prefix with cond classifier) for the T2I CLI smoke."""
+    from ref_loader import load_rqtransformer_modules
+    from test_rqtransformer_parity import make_ref_config
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+    import yaml
+
+    _, _, _, T = load_rqtransformer_modules()
+    torch.manual_seed(2)
+    yaml_text = T2I_YAML.format(vq_ckpt=vq_ckpt)
+    cfg = yaml.safe_load(yaml_text)
+    arch = augment_arch_defaults(Config(cfg["arch"])).to_dict()
+    arch["body"]["block"]["resid_pdrop"] = 0.0
+    arch["head"]["block"]["resid_pdrop"] = 0.0
+    ref = T.RQTransformer(make_ref_config(T, arch)).eval()
+    os.makedirs(outdir, exist_ok=True)
+    torch.save({"state_dict": ref.state_dict(), "epoch": 0},
+               os.path.join(outdir, "model.pt"))
+    with open(os.path.join(outdir, "config.yaml"), "w") as f:
+        f.write(yaml_text)
+    print("t2i fixture:", os.path.join(outdir, "model.pt"))
+
+
 def main():
     base = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         ROOT, "tests", "goldens", "synth_ckpt"
@@ -165,6 +234,8 @@ def main():
     s2 = os.path.join(base, "stage2")
     gen_stage1(s1)
     gen_stage2(s2, os.path.join(s1, "model.pt"))
+    if len(sys.argv) > 2 and sys.argv[2] == "t2i":
+        gen_t2i(os.path.join(base, "t2i"), os.path.join(s1, "model.pt"))
 
 
 if __name__ == "__main__":

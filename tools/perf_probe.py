@@ -509,6 +509,66 @@ def main():
         timeit(lambda: fetch(body_unrolled_2phase(params["body"], jax.random.PRNGKey(1))), 3,
                "body-only UNROLLED 2-phase window 64 steps")
 
+        # UNROLLED 2-phase + MERGED k|v cache: one [B, T, 2C] array per
+        # layer (half the buffers, one dynamic_update_slice per layer)
+        @jax.jit
+        def body_unrolled_2phase_merged(p, key):
+            x0 = jax.random.normal(key, (BS, 1, C), dtype)
+            caches = tuple(jnp.zeros((BS, t_max, 2 * C), dtype) for _ in range(L))
+            lps3 = [jax.tree.map(lambda a, i=i: a[i], p) for i in range(L)]
+            import numpy as np_
+            n_head, hs = cfg.n_head, C // cfg.n_head
+            scale = 1.0 / np_.sqrt(hs)
+
+            def make_step(win):
+                def step(carry, t):
+                    x, caches = carry
+                    past_mask_t1 = jax.lax.broadcasted_iota(jnp.int32, (1, win, 1), 1) < t
+                    new_caches = []
+                    for i in range(L):
+                        kv_l = caches[i]
+                        k_l = kv_l[:, :win, :C]
+                        v_l = kv_l[:, :win, C:]
+                        h = M.layer_norm(x, lps3[i]["ln1"]["scale"], lps3[i]["ln1"]["bias"])
+                        q = (h @ lps3[i]["attn"]["wq"] + lps3[i]["attn"]["bq"])
+                        k = (h @ lps3[i]["attn"]["wk"] + lps3[i]["attn"]["bk"])
+                        v = (h @ lps3[i]["attn"]["wv"] + lps3[i]["attn"]["bv"])
+                        prod = (k_l * q).reshape(BS, win, n_head, hs)
+                        s_past = jnp.sum(prod, axis=-1, dtype=jnp.float32) * scale
+                        s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
+                        s_self = jnp.sum((k * q).reshape(BS, 1, n_head, hs), axis=-1,
+                                         dtype=jnp.float32) * scale
+                        s = jnp.concatenate([s_past, s_self], axis=1)
+                        p_att = jax.nn.softmax(s, axis=1)
+                        w_past = p_att[:, :win].astype(v_l.dtype)
+                        w_self = p_att[:, win:].astype(v.dtype)
+                        y = jnp.sum(v_l.reshape(BS, win, n_head, hs) * w_past[..., None], axis=1)
+                        y = y + (v.reshape(BS, 1, n_head, hs) * w_self[..., None])[:, 0]
+                        y = y.reshape(BS, 1, C)
+                        x2 = x + (y @ lps3[i]["attn"]["wo"] + lps3[i]["attn"]["bo"])
+                        h2 = M.layer_norm(x2, lps3[i]["ln2"]["scale"], lps3[i]["ln2"]["bias"])
+                        m = M.gelu(h2 @ lps3[i]["mlp"]["w1"] + lps3[i]["mlp"]["b1"], cfg.gelu) @ lps3[i]["mlp"]["w2"] + lps3[i]["mlp"]["b2"]
+                        x = x2 + m
+                        new_caches.append(jax.lax.dynamic_update_slice(
+                            kv_l, jnp.concatenate([k, v], axis=-1).astype(kv_l.dtype),
+                            (0, t, 0)))
+                    return (x, tuple(new_caches)), ()
+                return step
+
+            half = HW // 2
+            (x1, caches), _ = jax.lax.scan(
+                make_step(half + 1), (x0, caches), jnp.arange(half, dtype=jnp.int32))
+            (h, _), _ = jax.lax.scan(
+                make_step(t_max), (x1, caches),
+                jnp.arange(half, HW, dtype=jnp.int32))
+            return h.sum()
+
+        t0 = time.time()
+        fetch(body_unrolled_2phase_merged(params["body"], jax.random.PRNGKey(0)))
+        print(f"# body-unrolled-2phase-merged compile+run: {time.time()-t0:.1f} s", flush=True)
+        timeit(lambda: fetch(body_unrolled_2phase_merged(params["body"], jax.random.PRNGKey(1))), 3,
+               "body-only UNROLLED 2-phase MERGED-kv 64 steps")
+
     if "--trace" in sys.argv:
         os.makedirs("/tmp/jax_trace", exist_ok=True)
         with jax.profiler.trace("/tmp/jax_trace"):
