@@ -49,7 +49,7 @@ class TestT2ICli:
         ckpt_dir, data_root = t2i_setup
         out = str(tmp_path / "out")
         env = dict(os.environ)
-        env.update({"SMOKE_TEST": "1", "RQVAE_TPU_CPU": "1"})
+        env.update({"SMOKE_TEST": "1", "RQVAE_TPU_CPU": "1", "XLA_FLAGS": ""})
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "cli", "main_sampling_txt2img.py"),
              "-m", os.path.join(ckpt_dir, "model.pt"),
@@ -66,3 +66,54 @@ class TestT2ICli:
         # NCHW float [0,1], 64px (stage-1 fixture resolution)
         assert arr.shape[1] == 3 and arr.shape[2] == 64
         assert 0.0 <= arr.min() and arr.max() <= 1.0
+
+    def test_stage2_text_training_smoke(self, t2i_setup, tmp_path):
+        """Full cc3m-style stage-2 TRAINING loop (text prefix + cond
+        classifier + txt/img-weighted soft-target loss), one smoke epoch —
+        the path the reference withholds entirely (README.md:214)."""
+        ckpt_dir, data_root = t2i_setup
+        # training config = fixture config + optimizer/experiment + data root
+        cfg = open(os.path.join(ckpt_dir, "config.yaml")).read()
+        cfg = cfg.replace(
+            "dataset:\n  dataset: cc3m",
+            f"dataset:\n  dataset: cc3m\n  root: {data_root}",
+        )
+        cfg += (
+            "\noptimizer:\n  type: adamW\n  init_lr: 5.0e-4\n"
+            "  weight_decay: 0.0001\n  betas: [0.9, 0.95]\n"
+            "  warmup:\n    epoch: 0\n    multiplier: 1\n    buffer_epoch: 0\n"
+            "    min_lr: 0.0\n    mode: fix\n    start_from_zero: True\n"
+            "  max_gn: 1.0\n"
+            "\nexperiment:\n  batch_size: 4\n  total_batch_size: 8\n"
+            "  epochs: 1\n  save_ckpt_freq: 1\n  test_freq: 1\n"
+        )
+        # images for the training split exist beside the captions
+        from PIL import Image
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        for split in ("train", "val"):
+            lines = []
+            for i in range(4):
+                fn = f"{split}_im_{i}.jpg"
+                Image.fromarray(
+                    rng.randint(0, 255, (80, 80, 3), np.uint8)
+                ).save(os.path.join(data_root, fn))
+                lines.append(f"{fn}\tcaption number {i}\n")
+            with open(os.path.join(data_root, f"{split}_list.txt"), "w") as f:
+                f.writelines(lines)
+
+        cfg_path = str(tmp_path / "train_config.yaml")
+        open(cfg_path, "w").write(cfg)
+        # single CPU device (pytest's conftest XLA_FLAGS would give the
+        # subprocess 8 virtual devices and break the batch-size math)
+        env = dict(os.environ)
+        env.update({"SMOKE_TEST": "1", "RQVAE_TPU_CPU": "1", "XLA_FLAGS": ""})
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "cli", "main_stage2.py"),
+             "-m", cfg_path, "-r", str(tmp_path / "out")],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=1200,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        log = r.stdout + r.stderr
+        assert "loss_txt" in log and "checkpoint saved" in log, log[-1500:]
