@@ -202,8 +202,11 @@ def main():
     body_w = tconf.body.n_layer * 12 * C * C * bpe * (HW - 1)
     head_w = tconf.head.n_layer * 12 * C * C * bpe * D * HW
     cls_w = C * 16384 * bpe * D * HW
-    n_steps, n_phases = HW - 1, 4
-    bounds = [round((HW - 1) * i / n_phases) for i in range(n_phases + 1)]
+    # mirror the sampler's actual phase schedule (sampling.py default 2)
+    n_steps = HW - 1
+    n_phases = int(os.environ.get("RQVAE_TPU_SAMPLE_PHASES", "2") or 2)
+    n_phases = min(max(1, n_phases), max(1, n_steps // 8))
+    bounds = [round(n_steps * i / n_phases) for i in range(n_phases + 1)]
     cache_rows = sum(
         (bounds[p + 1] - bounds[p]) * min(HW, 1 + bounds[p + 1])
         for p in range(n_phases)

@@ -114,22 +114,30 @@ def main():
     residual = z.astype(np.float32)
     n_real_mismatch = 0
     n_tie = 0
+    # positions whose residuals diverged at an upstream tie: deeper levels
+    # follow a different (equally valid) residual path, so their codes are
+    # incomparable — excluded rather than counted as real mismatches
+    diverged = np.zeros(codes.shape[:-1], bool)
+    n_cascade = 0
     for d in range(qcfg.depth):
         cb = np.asarray(state.embed[qcfg.codebook_index(d)][: qcfg.n_embed[d]])
         dist = np.asarray(rq.compute_distances(jnp.asarray(residual), jnp.asarray(cb)))
         ours_d, refs_d = codes[..., d], ref_codes[..., d]
         d_ours = np.take_along_axis(dist, ours_d[..., None], -1)[..., 0]
         d_refs = np.take_along_axis(dist, refs_d[..., None], -1)[..., 0]
-        mism = ours_d != refs_d
+        mism = (ours_d != refs_d) & ~diverged
+        n_cascade += int(((ours_d != refs_d) & diverged).sum())
         gap = np.abs(d_ours - d_refs)
         scale = 1e-4 * (1.0 + np.abs(d_ours))
-        n_tie += int((mism & (gap <= scale)).sum())
-        n_real_mismatch += int((mism & (gap > scale)).sum())
+        tie = mism & (gap <= scale)
+        n_tie += int(tie.sum())
+        n_real_mismatch += int((mism & ~tie).sum())
+        diverged |= tie
         residual = residual - cb[ours_d]
     total = codes[..., 0].size * qcfg.depth
     print(
         f"code audit: {n_real_mismatch} real mismatches, {n_tie} fp ties "
-        f"/ {total} codes"
+        f"(+{n_cascade} downstream of ties) / {total} codes"
     )
 
     # --- decoder parity on identical codes (immune to tie cascades) ------
@@ -218,9 +226,15 @@ def main_stage2(args):
     mine = S.forced_logits(
         params, tconf, forced, jnp.asarray(cond), vq_state, vq_config
     )
-    finite = np.isfinite(ref_logits)
-    err = np.abs(mine[finite] - ref_logits[finite]).max()
-    scale = np.abs(ref_logits[finite]).max() + 1e-8
+    # compare only each depth's VALID vocab slice: the zero-padding of
+    # ref_logits beyond vocab_size[d] is finite while our side masks the
+    # tail to -inf (classifier_apply heterogeneous mask)
+    valid = np.zeros(ref_logits.shape, bool)
+    for d in range(D):
+        valid[..., d, : tconf.vocab_size[d]] = True
+    valid &= np.isfinite(ref_logits)
+    err = np.abs(mine[valid] - ref_logits[valid]).max()
+    scale = np.abs(ref_logits[valid]).max() + 1e-8
     print(f"stage-2 forced-code logits: max abs err {err:.5f} (rel {err/scale:.5f})")
     ok = err / scale < 0.01
     print("PARITY OK" if ok else "PARITY FAIL")

@@ -53,7 +53,7 @@ def initialize_actnorm(disc: "NLayerDiscriminator", variables: dict, x) -> dict:
 
     assert disc.use_actnorm, "initialize_actnorm requires use_actnorm=True"
     params = copy.deepcopy(jax.device_get(dict(variables))["params"])
-    for n in list(range(1, disc.n_layers)) + [disc.n_layers]:
+    for n in range(1, disc.n_layers + 1):
         conv_name, norm_name = f"conv_{n}", f"norm_{n}"
         _, inter = disc.apply(
             {"params": params},

@@ -229,11 +229,20 @@ def sample(
     # back to the stacked-cache scan beyond 128 positions.
     import os as _os
 
-    _unroll_env = _os.environ.get("RQVAE_TPU_SAMPLE_UNROLL", "")
-    use_unrolled = (
-        {"1": True, "0": False}[_unroll_env] if _unroll_env in ("0", "1")
-        else HW <= 128
-    )
+    _unroll_env = _os.environ.get("RQVAE_TPU_SAMPLE_UNROLL", "").strip().lower()
+    if _unroll_env in ("1", "true", "yes"):
+        use_unrolled = True
+    elif _unroll_env in ("0", "false", "no"):
+        use_unrolled = False
+    else:
+        if _unroll_env:
+            import warnings
+
+            warnings.warn(
+                f"RQVAE_TPU_SAMPLE_UNROLL={_unroll_env!r} not understood; "
+                "using the HW<=128 heuristic"
+            )
+        use_unrolled = HW <= 128
 
     if use_unrolled:
         t_max = cond_len + HW - 1  # the last position's k/v are never read
@@ -340,7 +349,13 @@ def sample(
     # pipelining more than the window saves); isolated body-only scans show
     # a larger 2-phase win (5.26 -> 4.60) — the interleaved depth head
     # dilutes it. Env knob for experiments.
-    n_phases = int(_os.environ.get("RQVAE_TPU_SAMPLE_PHASES", "2") or 2)
+    try:
+        n_phases = int(_os.environ.get("RQVAE_TPU_SAMPLE_PHASES", "2") or 2)
+    except ValueError:
+        import warnings
+
+        warnings.warn("RQVAE_TPU_SAMPLE_PHASES not an int; using 2")
+        n_phases = 2
     n_phases = min(max(1, n_phases), max(1, n_steps // 8))
     bounds = [round(n_steps * i / n_phases) for i in range(n_phases + 1)]
     carry = (rng, spatial_ctx, body_caches)

@@ -138,11 +138,16 @@ class Stage1Trainer:
         pending = []
 
         def flush():
-            for m, c in pending:
-                accm.update([np.asarray(c)], jax.device_get(m), count=1)
+            if not pending:
+                return None
+            # ONE device_get for the whole buffer (a transfer per step would
+            # serialise dispatch through the tunnel)
+            fetched = jax.device_get(pending)
+            for m, c in fetched:
+                accm.update([np.asarray(c)], m, count=1)
             pending.clear()
+            return fetched[-1][0]  # last step's metrics, already on host
 
-        metrics_np = None
         for it, batch in enumerate(self.loader_trn):
             self.state, metrics, codes = step_fn(self.state, batch, rng)
             pending.append((metrics, codes))
@@ -150,8 +155,7 @@ class Stage1Trainer:
 
             global_iter = epoch * len(self.loader_trn) + it
             if (global_iter + 1) % 50 == 0:
-                flush()
-                metrics_np = jax.device_get(metrics)
+                metrics_np = flush()
                 for k, v in metrics_np.items():
                     self.writer.add_scalar(f"loss_step/{k}", v, "train", global_iter)
             if (global_iter + 1) % 250 == 0:
