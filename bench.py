@@ -214,10 +214,18 @@ def main():
     cache_bytes = cache_rows * BATCH_SIZE * C * 2 * 2 * tconf.body.n_layer
     ar_gb = (body_w + head_w + cls_w + cache_bytes) / 1e9
     roofline_ms = ar_gb / 819.0 * 1000 / BATCH_SIZE
+    # Measured XLA floor (tools/exp_matmul_floor.py): a pure dependent chain
+    # of decode-shaped weight matmuls streams at 73% of the 819 GB/s paper
+    # peak (~600 GB/s), flat across operand orientations and VMEM budgets;
+    # pure VPU elementwise/reduce streams cap lower still (~290 GB/s). The
+    # paper-peak roofline below is therefore unreachable by ~1.37x for ANY
+    # XLA program on this chip.
+    xla_floor_ms = roofline_ms / 0.73
     print(
-        f"# AR HBM traffic {ar_gb:.0f} GB/batch -> roofline {roofline_ms:.2f} "
-        f"ms/sample; achieved {ar_ms:.2f} ({roofline_ms / ar_ms * 100:.0f}% of "
-        f"819 GB/s peak)",
+        f"# AR HBM traffic {ar_gb:.0f} GB/batch -> paper roofline "
+        f"{roofline_ms:.2f} ms/sample, measured-XLA floor {xla_floor_ms:.2f}; "
+        f"achieved {ar_ms:.2f} ({roofline_ms / ar_ms * 100:.0f}% of 819 GB/s "
+        f"paper peak, {xla_floor_ms / ar_ms * 100:.0f}% of the XLA floor)",
         file=sys.stderr,
     )
 
@@ -231,6 +239,7 @@ def main():
                 "ar_ms": round(ar_ms, 2),
                 "decode_ms": round(value - ar_ms, 2),
                 "ar_roofline_ms": round(roofline_ms, 2),
+                "ar_xla_floor_ms": round(xla_floor_ms, 2),
                 "ar_hbm_gb_per_batch": round(ar_gb, 1),
             }
         )

@@ -172,9 +172,18 @@ def quantize_transformer_params(params: dict) -> dict:
 
 
 def layer_norm(x, scale, bias):
+    """fp32 LayerNorm with ONE-PASS statistics: mean and E[x^2] are
+    independent reduces, so XLA fuses them into a single multi-output
+    reduce fusion. The textbook two-pass form (mean, then var(x - mean))
+    chains two reduce fusions back-to-back; at decode shapes ([B, 1, C])
+    each reduce fusion costs ~14us of serialized latency on v5e and
+    LayerNorm was 39% of AR sampling time (trace, tools/trace_top_ops.py).
+    E[x^2] - mean^2 in fp32 is exact enough for unit-scale activations
+    (parity suite tolerances hold)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
+    msq = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    var = jnp.maximum(msq - mean * mean, 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
     return (y * scale + bias).astype(x.dtype)
 
@@ -313,7 +322,12 @@ def stack_step(
 
     def attention_decode(q, k, v, k_l, v_l):
         """S=1 path: per-head scores via broadcast-mul + segment reduction on
-        the unpadded [B, T, C] cache (all VPU, no head transposes)."""
+        the unpadded [B, T, C] cache (all VPU, no head transposes).
+
+        Measured alternative (r2): scores as one batched MXU dot against a
+        0/1 head-segment matrix ([B,T,C] x [B,C,nh]) — 6.48 vs 6.18
+        ms/sample full-AR at bs100; the qseg operand materialization beats
+        the saving from the fused mul+convert+reduce chain. Rejected."""
         prod = (k_l * q).reshape(B, t_max, n_head, hs)
         s_past = jnp.sum(prod, axis=-1, dtype=jnp.float32) * scale  # [B,T,nh]
         s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
@@ -429,7 +443,8 @@ def init_unrolled_kv_cache(cfg: StackConfig, batch: int, t_max: int, dtype=jnp.f
 
 def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head):
     """S=1 VPU attention against one layer's [B, T, C] cache (same math as
-    stack_step's attention_decode)."""
+    stack_step's attention_decode; MXU segment-dot alternative measured
+    slower — see that docstring)."""
     B, _, C = q.shape
     t_max = k_l.shape[1]
     hs = C // n_head

@@ -9,6 +9,15 @@ two heads per 128-lane register; general hs supported via the segment mask).
 
 Returns y [B, C]. The new token attends cache positions < cur_len plus
 itself (the sampler writes k/v into the cache separately).
+
+STATUS — measured and NOT shipped on the sampling path. tools/perf_probe.py
+benchmarks this kernel against the XLA elementwise attention inside the real
+1.4B body loop: the fp32 variant is VPU-bound (7.04 vs 5.77 ms/sample
+body-only at bs100), and a bf16 score variant hits a Mosaic internal error
+(v5e, jax 0.9 era). The XLA path (model.py::_decode_attention_xla) stays the
+default; this file is kept as the measured alternative, exercised by
+tests/test_attention_kernel.py and the probe so it cannot silently rot.
+Revisit if Mosaic gains bf16 lane-split reductions for merged-head layouts.
 """
 
 from __future__ import annotations
