@@ -321,20 +321,49 @@ def stack_step(
     chunk_mask = jnp.tril(jnp.ones((S, S), dtype=bool))
 
     def attention_decode(q, k, v, k_l, v_l):
-        """S=1 path: per-head scores via broadcast-mul + segment reduction on
-        the unpadded [B, T, C] cache (all VPU, no head transposes).
+        """S=1 path on the unpadded [B, T, C] cache: VPU broadcast-mul +
+        segment-reduce scores at small B*T, MXU head-segment-matrix dot at
+        large B*T (see _decode_attention_xla for the measured crossover;
+        the stacked path serves long-sequence geometries where T alone
+        pushes the VPU score stream past its ~290 GB/s ceiling)."""
+        import os as _os
 
-        Measured alternative (r2): scores as one batched MXU dot against a
-        0/1 head-segment matrix ([B,T,C] x [B,C,nh]) — 6.48 vs 6.18
-        ms/sample full-AR at bs100; the qseg operand materialization beats
-        the saving from the fused mul+convert+reduce chain. Rejected."""
-        prod = (k_l * q).reshape(B, t_max, n_head, hs)
-        s_past = jnp.sum(prod, axis=-1, dtype=jnp.float32) * scale  # [B,T,nh]
-        s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
-        s_self = (
-            jnp.sum((k * q).reshape(B, 1, n_head, hs), axis=-1, dtype=jnp.float32)
-            * scale
-        )
+        mode = _os.environ.get("RQVAE_TPU_DECODE_ATTN", "auto").strip().lower()
+        if mode not in ("vpu", "mxu"):
+            mode = "mxu" if B * t_max >= 10000 else "vpu"
+        if mode == "mxu":
+            seg = _head_seg(C, n_head, k_l.dtype)
+            # bf16 inputs MAC exactly on the MXU (fp32 accumulate); fp32
+            # inputs need HIGHEST or the default bf16 truncation costs ~1e-2.
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if k_l.dtype == jnp.float32
+                else None
+            )
+            q0 = q[:, 0, :]
+            qseg = q0[:, :, None] * seg[None]
+            s_past = (
+                jnp.einsum(
+                    "btc,bcn->btn", k_l, qseg,
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                * scale
+            )
+            s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
+            s_self = (
+                jnp.einsum(
+                    "bc,cn->bn", k[:, 0, :] * q0, seg,
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                * scale
+            )[:, None, :]
+        else:
+            prod = (k_l * q).reshape(B, t_max, n_head, hs)
+            s_past = jnp.sum(prod, axis=-1, dtype=jnp.float32) * scale
+            s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
+            s_self = jnp.sum(
+                (k * q).reshape(B, 1, n_head, hs), axis=-1, dtype=jnp.float32
+            ) * scale
         s = jnp.concatenate([s_past, s_self], axis=1)  # [B, T+1, nh]
         p_att = jax.nn.softmax(s, axis=1)
         w_past = p_att[:, :t_max].astype(v_l.dtype)
@@ -441,10 +470,34 @@ def init_unrolled_kv_cache(cfg: StackConfig, batch: int, t_max: int, dtype=jnp.f
     )
 
 
+def _head_seg(C: int, n_head: int, dtype):
+    """Constant 0/1 head-segment matrix seg[c, h] = (c // hs == h)."""
+    hs = C // n_head
+    col = np.arange(C) // hs
+    return jnp.asarray(
+        (col[:, None] == np.arange(n_head)[None, :]), dtype=dtype
+    )
+
+
 def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head):
-    """S=1 VPU attention against one layer's [B, T, C] cache (same math as
-    stack_step's attention_decode; MXU segment-dot alternative measured
-    slower — see that docstring)."""
+    """S=1 attention against one layer's [B, T, C] cache (same math as
+    stack_step's attention_decode).
+
+    Two formulations, selected by RQVAE_TPU_DECODE_ATTN (trace-time):
+      'vpu': per-head scores via broadcast-mul + segment reduce — wins at
+        small batch (bs100: 6.18 vs 6.48 AR ms/sample, 1.4B).
+      'mxu': scores as one batched MXU dot against the 0/1 head-segment
+        matrix (cache read once, fp32 MAC, no lane-padded hs-minor
+        reshapes) at the cost of materializing a [B, C, nh] q-segment
+        operand. The VPU score path streams through the ~290 GB/s
+        elementwise ceiling and scales with T*B, while qseg scales only
+        with B — measured wins at bs200 (4.93 vs 5.18) and bs500
+        (4.94 vs 5.12).
+      default 'auto': mxu for B >= 150, vpu below.
+    RQVAE_TPU_DECODE_ATTN_V='mxu' additionally routes the V-weighted sum
+    through segment dots — measured SLOWER everywhere (bs500: 5.40 vs
+    4.94); kept for experiments only.
+    """
     B, _, C = q.shape
     t_max = k_l.shape[1]
     hs = C // n_head
@@ -452,19 +505,64 @@ def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head):
     past_mask_t1 = (
         jax.lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1) < cur_len
     )
-    prod = (k_l * q).reshape(B, t_max, n_head, hs)
-    s_past = jnp.sum(prod, axis=-1, dtype=jnp.float32) * scale
-    s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
-    s_self = (
-        jnp.sum((k * q).reshape(B, 1, n_head, hs), axis=-1, dtype=jnp.float32) * scale
-    )
+    import os as _os
+
+    mode = _os.environ.get("RQVAE_TPU_DECODE_ATTN", "auto").strip().lower()
+    if mode not in ("vpu", "mxu"):
+        mode = "mxu" if B >= 150 else "vpu"
+    if mode == "mxu":
+        seg = _head_seg(C, n_head, k_l.dtype)  # [C, nh]
+        # bf16 inputs MAC exactly on the MXU (fp32 accumulate); fp32 inputs
+        # need HIGHEST or the default bf16 truncation costs ~1e-2.
+        prec = (
+            jax.lax.Precision.HIGHEST if k_l.dtype == jnp.float32 else None
+        )
+        q0 = q[:, 0, :]
+        qseg = q0[:, :, None] * seg[None]  # exact: seg is 0/1
+        s_past = (
+            jnp.einsum(
+                "btc,bcn->btn", k_l, qseg,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            * scale
+        )
+        s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
+        s_self = (
+            jnp.einsum(
+                "bc,cn->bn", k[:, 0, :] * q0, seg,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            * scale
+        )[:, None, :]
+    else:
+        prod = (k_l * q).reshape(B, t_max, n_head, hs)
+        s_past = jnp.sum(prod, axis=-1, dtype=jnp.float32) * scale
+        s_past = jnp.where(past_mask_t1, s_past, -jnp.inf)
+        s_self = jnp.sum(
+            (k * q).reshape(B, 1, n_head, hs), axis=-1, dtype=jnp.float32
+        ) * scale
     s = jnp.concatenate([s_past, s_self], axis=1)
     p_att = jax.nn.softmax(s, axis=1)
     w_past = p_att[:, :t_max].astype(v_l.dtype)
     w_self = p_att[:, t_max:].astype(v.dtype)
-    y = jnp.sum(v_l.reshape(B, t_max, n_head, hs) * w_past[..., None], axis=1)
-    y = y + (v.reshape(B, 1, n_head, hs) * w_self[..., None])[:, 0]
-    return y.reshape(B, 1, C)
+    if _os.environ.get("RQVAE_TPU_DECODE_ATTN_V", "").strip().lower() == "mxu":
+        seg = _head_seg(C, n_head, v_l.dtype)
+        vprec = (
+            jax.lax.Precision.HIGHEST if v_l.dtype == jnp.float32 else None
+        )
+        wseg = jnp.einsum(
+            "btn,cn->btc", w_past, seg, precision=vprec
+        )  # [B, T, C] per-lane w
+        y = jnp.sum(v_l * wseg, axis=1)
+        y = y + v[:, 0, :] * jnp.einsum(
+            "bn,cn->bc", w_self[:, 0], seg, precision=vprec
+        )
+    else:
+        y = jnp.sum(v_l.reshape(B, t_max, n_head, hs) * w_past[..., None], axis=1)
+        y = (
+            y + (v.reshape(B, 1, n_head, hs) * w_self[..., None])[:, 0]
+        ).reshape(B, C)
+    return y[:, None, :]
 
 
 def stack_step_unrolled(
