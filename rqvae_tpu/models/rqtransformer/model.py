@@ -470,6 +470,65 @@ def init_unrolled_kv_cache(cfg: StackConfig, batch: int, t_max: int, dtype=jnp.f
     )
 
 
+def _use_pallas_decode_attn(
+    t_max: int, C: int, n_head: int, dtype, batch: int | None = None
+) -> bool:
+    """Decode-attention backend selection (trace-time, static).
+
+    The Pallas fused kernel (ops/attention_kernel.py) streams the KV cache
+    at ~740 GB/s (91% of the 819 GB/s paper peak) vs ~560-620 for the XLA
+    formulations (tools/exp_pallas_attn.py, 24-layer HBM-resident chain).
+    End-to-end it wins only at large batch (bs500: AR 4.94 -> 4.71 with
+    sublane-aligned phase windows; bs200: 5.02 vs 4.93 for mxu — crossover
+    between 200 and 500): at small batch the decode loop sits at an
+    aggregate ~600 GB/s equilibrium and the locally-faster kernel just
+    shifts time into weight-prefetch waits (traced: +55ms/iter of sync
+    slice-done at bs100). The tiny depth-head caches (T=4) always stay on
+    XLA. RQVAE_TPU_DECODE_ATTN: 'pallas' forces (where legal), 'vpu'/'mxu'
+    force the XLA paths, default 'auto' uses pallas for windows >= 32 and
+    batch >= 300 on TPU backends.
+    """
+    import os as _os
+
+    mode = _os.environ.get("RQVAE_TPU_DECODE_ATTN", "auto").strip().lower()
+    legal = (
+        t_max >= 16
+        and C % n_head == 0
+        and C % 128 == 0
+        and dtype in (jnp.bfloat16, jnp.float32)
+        and jax.default_backend() == "tpu"
+    )
+    if mode == "pallas":
+        return legal
+    if mode in ("vpu", "mxu"):
+        return False
+    return legal and t_max >= 32 and (batch is None or batch >= 300)
+
+
+def _use_pallas_decode_dense(C: int, dtype, batch: int) -> bool:
+    """Dense-half backend selection for the S=1 decode step (trace-time).
+
+    'pallas' routes LN1+QKV and proj+LN2+MLP through the weight-streaming
+    kernels in ops/decode_layer_kernel.py (wqkv/w1/w2 chunks ride the
+    pallas grid DMA pipeline while the [B, C] activation block stays in
+    VMEM). RQVAE_TPU_DECODE_DENSE: 'pallas' forces, 'xla' forces the
+    fused-emitter path, 'auto' follows the measured policy.
+    """
+    import os as _os
+
+    mode = _os.environ.get("RQVAE_TPU_DECODE_DENSE", "auto").strip().lower()
+    legal = (
+        C % 128 == 0
+        and dtype in (jnp.bfloat16, jnp.float32)
+        and jax.default_backend() == "tpu"
+    )
+    if mode == "pallas":
+        return legal
+    if mode == "xla":
+        return False
+    return False  # auto: off until the end-to-end measurement says otherwise
+
+
 def _head_seg(C: int, n_head: int, dtype):
     """Constant 0/1 head-segment matrix seg[c, h] = (c // hs == h)."""
     hs = C // n_head
@@ -595,20 +654,48 @@ def stack_step_unrolled(
         )
         chunk_mask = jnp.tril(jnp.ones((S, S), dtype=bool))
 
+    dense_mode = S == 1 and _use_pallas_decode_dense(C, x.dtype, B)
+
     new_caches = []
     for lp, (k_l, v_l) in zip(layer_params, caches):
-        h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
-        if "wqkv" in lp["attn"]:
-            qkv = _mm(h, lp["attn"]["wqkv"]) + lp["attn"]["bqkv"]
+        dense_ok = (
+            dense_mode
+            and "wqkv" in lp["attn"]
+            and not isinstance(lp["attn"]["wqkv"], QuantizedWeight)
+        )
+        if dense_ok:
+            from rqvae_tpu.ops import decode_layer_kernel as _DK
+
+            qkv = _DK.fused_ln_qkv(
+                x[:, 0, :], lp["ln1"]["scale"], lp["ln1"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"],
+            )[:, None, :]
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
-            q = _mm(h, lp["attn"]["wq"]) + lp["attn"]["bq"]
-            k = _mm(h, lp["attn"]["wk"]) + lp["attn"]["bk"]
-            v = _mm(h, lp["attn"]["wv"]) + lp["attn"]["bv"]
+            h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
+            if "wqkv" in lp["attn"]:
+                qkv = _mm(h, lp["attn"]["wqkv"]) + lp["attn"]["bqkv"]
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = _mm(h, lp["attn"]["wq"]) + lp["attn"]["bq"]
+                k = _mm(h, lp["attn"]["wk"]) + lp["attn"]["bk"]
+                v = _mm(h, lp["attn"]["wv"]) + lp["attn"]["bv"]
         if S == 1:
-            y = _decode_attention_xla(
-                q, k, v, k_l[:, :t_max], v_l[:, :t_max], cur_len, n_head
-            )
+            if _use_pallas_decode_attn(t_max, C, n_head, k_l.dtype, batch=B):
+                from rqvae_tpu.ops import attention_kernel as _AK
+
+                # round the window up to the sublane tile so Mosaic gets an
+                # aligned cache block; rows in [cur_len, W) are masked out
+                sub = 16 if k_l.dtype == jnp.bfloat16 else 8
+                W = min(k_l.shape[1], -(-t_max // sub) * sub)
+                y = _AK.decode_attention(
+                    q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
+                    cur_len, n_head, t_window=W,
+                )[:, None, :]
+            else:
+                y = _decode_attention_xla(
+                    q, k, v, k_l[:, :t_max], v_l[:, :t_max], cur_len, n_head
+                )
         else:
             q4 = q.reshape(B, S, n_head, hs)
             k4 = k.reshape(B, S, n_head, hs)
@@ -630,10 +717,20 @@ def stack_step_unrolled(
                 "bhst,bthd->bshd", att[..., t_max:], v4
             )
             y = y.reshape(B, S, C)
-        x2 = x + (_mm(y, lp["attn"]["wo"]) + lp["attn"]["bo"])
-        h2 = layer_norm(x2, lp["ln2"]["scale"], lp["ln2"]["bias"])
-        m = _mm(gelu(_mm(h2, lp["mlp"]["w1"]) + lp["mlp"]["b1"], cfg.gelu), lp["mlp"]["w2"]) + lp["mlp"]["b2"]
-        x = x2 + m
+        if dense_ok and not isinstance(lp["attn"]["wo"], QuantizedWeight):
+            x = _DK.fused_proj_mlp(
+                x[:, 0, :], y[:, 0, :],
+                lp["attn"]["wo"], lp["attn"]["bo"],
+                lp["ln2"]["scale"], lp["ln2"]["bias"],
+                lp["mlp"]["w1"], lp["mlp"]["b1"],
+                lp["mlp"]["w2"], lp["mlp"]["b2"],
+                gelu_version=cfg.gelu,
+            )[:, None, :]
+        else:
+            x2 = x + (_mm(y, lp["attn"]["wo"]) + lp["attn"]["bo"])
+            h2 = layer_norm(x2, lp["ln2"]["scale"], lp["ln2"]["bias"])
+            m = _mm(gelu(_mm(h2, lp["mlp"]["w1"]) + lp["mlp"]["b1"], cfg.gelu), lp["mlp"]["w2"]) + lp["mlp"]["b2"]
+            x = x2 + m
         new_caches.append(
             (
                 jax.lax.dynamic_update_slice(

@@ -358,6 +358,17 @@ def sample(
         n_phases = 2
     n_phases = min(max(1, n_phases), max(1, n_steps // 8))
     bounds = [round(n_steps * i / n_phases) for i in range(n_phases + 1)]
+    if use_unrolled and M._use_pallas_decode_attn(
+        t_max, C, config.body.n_head, dtype, batch=B
+    ):
+        # the Pallas decode-attention kernel rounds its cache window up to
+        # the sublane tile; snap interior phase bounds down so each phase's
+        # window (cond_len + e) is already aligned and nothing is over-read
+        sub = 16 if dtype == jnp.bfloat16 else 8
+        for i in range(1, n_phases):
+            e_al = ((cond_len + bounds[i]) // sub) * sub - cond_len
+            if e_al > bounds[i - 1]:
+                bounds[i] = e_al
     carry = (rng, spatial_ctx, body_caches)
     chunks = []
     for p in range(n_phases):

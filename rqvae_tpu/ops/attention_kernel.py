@@ -85,12 +85,15 @@ def _attn_math(cur_len, q, k_new, v_new, kc, vc, seg, y_ref, *, n_head, t_max):
     scale = 1.0 / np.sqrt(hs)
     cd = kc.dtype
     segc = seg.astype(cd)
+    # bf16 operands MAC exactly (fp32 accumulate); fp32 operands need
+    # HIGHEST or the MXU's default bf16 truncation costs ~1e-2
+    prec = jax.lax.Precision.HIGHEST if cd == jnp.float32 else None
 
     prod = (kc * q[:, None, :].astype(cd)).reshape(BT * t_max, C)
     s_past = (
-        jnp.dot(prod, segc, preferred_element_type=jnp.float32).reshape(
-            BT, t_max, n_head
-        )
+        jnp.dot(
+            prod, segc, preferred_element_type=jnp.float32, precision=prec
+        ).reshape(BT, t_max, n_head)
         * scale
     )
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1)
@@ -98,7 +101,8 @@ def _attn_math(cur_len, q, k_new, v_new, kc, vc, seg, y_ref, *, n_head, t_max):
 
     s_self = (
         jnp.dot(
-            (k_new * q).astype(cd), segc, preferred_element_type=jnp.float32
+            (k_new * q).astype(cd), segc,
+            preferred_element_type=jnp.float32, precision=prec,
         )[:, None, :]
         * scale
     )  # [BT, 1, nh]
@@ -115,15 +119,16 @@ def _attn_math(cur_len, q, k_new, v_new, kc, vc, seg, y_ref, *, n_head, t_max):
     w_lanes = (
         jnp.dot(
             w_past.reshape(BT * t_max, n_head), segc.T,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         .astype(cd)
         .reshape(BT, t_max, C)
     )
     y = jnp.sum(vc * w_lanes, axis=1, dtype=jnp.float32)  # [BT, C]
     ws_lanes = jnp.dot(
-        w_self[:, 0, :], seg.T, preferred_element_type=jnp.float32
-    )  # [BT, C]
+        w_self[:, 0, :], seg.T,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # [BT, C] (w_self is fp32; seg is 0/1 — keep the product exact)
     y = y + v_new.astype(jnp.float32) * ws_lanes
     y_ref[:] = y.astype(y_ref.dtype)
 
@@ -189,7 +194,7 @@ def decode_attention_stacked(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_head", "b_tile", "interpret")
+    jax.jit, static_argnames=("n_head", "b_tile", "t_window", "interpret")
 )
 def decode_attention(
     q: jax.Array,  # [B, C]
@@ -200,18 +205,18 @@ def decode_attention(
     cur_len: jax.Array,  # int32 scalar
     n_head: int,
     b_tile: int = 8,
+    t_window: int | None = None,  # static: attend cache[:, :t_window] only
     interpret: bool = False,
 ) -> jax.Array:
+    """NO padding/slicing of the operands: a ragged batch is handled by
+    Pallas boundary-block masking (each row's output depends only on its own
+    row, so garbage in the dead tail rows is harmless), and a phase window
+    is a BlockSpec prefix read of the full cache buffer. Materializing
+    either as jnp.pad/slice costs a full cache copy per call — measured
+    3.6x the kernel's own runtime at bs500 (tools/exp_pallas_attn.py)."""
     B, C = q.shape
     T = k_cache.shape[1]
-    pad_b = (-B) % b_tile
-    if pad_b:
-        q = jnp.pad(q, ((0, pad_b), (0, 0)))
-        k_new = jnp.pad(k_new, ((0, pad_b), (0, 0)))
-        v_new = jnp.pad(v_new, ((0, pad_b), (0, 0)))
-        k_cache = jnp.pad(k_cache, ((0, pad_b), (0, 0), (0, 0)))
-        v_cache = jnp.pad(v_cache, ((0, pad_b), (0, 0), (0, 0)))
-    Bp = B + pad_b
+    W = T if t_window is None else min(t_window, T)
 
     hs = C // n_head
     seg = (
@@ -219,8 +224,8 @@ def decode_attention(
         == jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 1)
     ).astype(jnp.float32)
 
-    grid = (Bp // b_tile,)
-    kernel = functools.partial(_decode_attn_kernel, n_head=n_head, t_max=T)
+    grid = (pl.cdiv(B, b_tile),)
+    kernel = functools.partial(_decode_attn_kernel, n_head=n_head, t_max=W)
     y = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -230,13 +235,20 @@ def decode_attention(
                 pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
                 pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
                 pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
-                pl.BlockSpec((b_tile, T, C), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((b_tile, T, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, W, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, W, C), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((C, n_head), lambda i, *_: (0, 0)),
             ],
             out_specs=pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((Bp, C), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C), q.dtype),
+        # cap Mosaic's VMEM claim: by default a kernel may reserve the whole
+        # VMEM, which evicts XLA's async weight-prefetch buffers around every
+        # call and serializes the decode loop on slice-done waits (traced at
+        # bs100: +76ms/iter of sync weight waits vs the fused XLA path)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(cur_len.reshape(1), q, k_new, v_new, k_cache, v_cache, seg)
-    return y[:B]
+    return y

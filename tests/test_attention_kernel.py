@@ -1,11 +1,12 @@
 """Pallas decode-attention kernels (interpret mode on CPU).
 
-Status: the kernels are PARKED — measured slower than the XLA VPU path on
-v5e (fp32 version VPU-bound at 7.04 vs 5.77 ms/sample body-only; the bf16
-rewrite hits a Mosaic internal error on the [BT*T, nh] reshape when compiled
-for real hardware). The production decode path is `stack_step_unrolled`
-(model.py). These tests pin the kernels' MATH so they stay correct while
-parked (interpret mode sidesteps the Mosaic compile bug).
+Status: SHIPPED (r2) — decode_attention is the default body decode
+attention on TPU for cache windows >= 32 (model._use_pallas_decode_attn).
+The r1 "parked" verdict came from benchmarking through jnp.pad of the
+ragged batch, which copied the whole KV cache per call; the pad-free
+kernel streams at ~740 GB/s vs ~600 for the XLA formulations
+(tools/exp_pallas_attn.py). These tests pin the kernel's math on CPU;
+on-chip parity is covered by the sampler equivalence + bench runs.
 """
 
 import numpy as np
@@ -47,6 +48,29 @@ def test_decode_attention_matches_reference(dt, tol):
     )
     yref = reference_attention(q, kn, vn, kc, vc, 9)
     assert np.abs(y - yref).max() < tol
+
+
+def test_decode_attention_t_window_prefix_and_ragged_batch():
+    """t_window reads only the cache prefix (rows >= cur_len masked) and a
+    batch not divisible by b_tile is handled by boundary-block masking."""
+    r = np.random.RandomState(2)
+    Br = 13  # ragged vs b_tile=8
+    q = jnp.asarray(r.randn(Br, C).astype(np.float32))
+    kn = jnp.asarray(r.randn(Br, C).astype(np.float32))
+    vn = jnp.asarray(r.randn(Br, C).astype(np.float32))
+    kc = jnp.asarray(r.randn(Br, T, C).astype(np.float32))
+    vc = jnp.asarray(r.randn(Br, T, C).astype(np.float32))
+    cur = 7
+    got = decode_attention(
+        q, kn, vn, kc, vc, jnp.int32(cur), NH, t_window=9, interpret=True
+    )
+    # garbage beyond the window must not leak: full-cache call, same cur_len
+    want = decode_attention(
+        q, kn, vn, kc, vc, jnp.int32(cur), NH, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_stacked_variant_selects_layer_without_copy_semantics():
