@@ -1,0 +1,212 @@
+"""Pallas TPU kernels for the dense half of a decode transformer layer.
+
+The AR decode step is HBM-bandwidth bound: per layer-step the weights
+(wqkv 14MB + wo 4.7 + w1/w2 38MB bf16 at C=1536) dominate traffic, and the
+bs500 xplane trace shows XLA's decode-shaped matmul+LayerNorm fusions
+running at ~1.9x their weight-stream floor (convert_reduce_fusion, 26% of
+AR device time; see COVERAGE.md round-2 notes). These kernels stream the
+weight matrices through VMEM with pallas' grid double-buffering while the
+small activation block stays resident, so the matmul chain rides the DMA
+rate (~740 GB/s measured for the attention kernel, tools/exp_pallas_attn):
+
+- fused_ln_qkv:   h = LN(x); qkv = h @ wqkv + bqkv       (grid over 3C cols)
+- fused_proj_mlp: x2 = x + y @ wo + bo; h2 = LN(x2);
+                  out = x2 + gelu(h2 @ w1 + b1) @ w2 + b2 (grid over H)
+
+Math mirrors model.stack_step_unrolled's XLA path (one-pass fp32 LayerNorm
+statistics, bf16 matmuls with fp32 MXU accumulation; the hidden-chunked
+MLP accumulates partial column blocks in fp32 — within 1-2 bf16 ulps of
+XLA's fusion rounding). Reference semantics: attention block of
+/root/reference/rqvae/models/rqtransformer/attentions.py:140-181.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-5
+
+
+def _ln(x, scale, bias, out_dtype):
+    """One-pass fp32 LayerNorm (matches model.layer_norm)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    msq = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    var = jnp.maximum(msq - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
+        out_dtype
+    )
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational approximation, |err| <= 1.5e-7.
+
+    Mosaic has no erf/erfc lowering; exp is supported. fp32 throughout —
+    the resulting gelu differs from jax.nn.gelu(approximate=False) by
+    < 1e-6 over the activation range, inside every parity tolerance."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu(x, version: str):
+    if version == "v1":
+        return x * 0.5 * (1.0 + _erf(x * (2.0**-0.5)))  # exact-erf gelu
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _prec(dtype):
+    # bf16 operands MAC exactly on the MXU (fp32 accumulate); fp32 operands
+    # need HIGHEST or the default bf16 truncation costs ~1e-2
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def _pick_chunk(n: int, target: int = 1536) -> int:
+    """Largest lane-aligned divisor of n not exceeding target (n % 128 == 0
+    whenever C does, so 128 always qualifies)."""
+    best = 0
+    c = 128
+    while c <= min(target, n):
+        if n % c == 0:
+            best = c
+        c += 128
+    return best or n
+
+
+def _ln_qkv_kernel(x_ref, lns_ref, lnb_ref, w_ref, b_ref, o_ref, h_s):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        h_s[:] = _ln(x_ref[:], lns_ref[:], lnb_ref[:], h_s.dtype)
+
+    o_ref[:] = (
+        jnp.dot(
+            h_s[:], w_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=_prec(x_ref.dtype),
+        ).astype(o_ref.dtype)
+        + b_ref[:]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def fused_ln_qkv(x, ln_scale, ln_bias, wqkv, bqkv, chunk=1536, interpret=False):
+    """x [B, C] -> LN -> x @ wqkv + bqkv, wqkv [C, N] streamed in N-column
+    chunks (N = 3C for fused QKV). Returns [B, N]."""
+    B, C = x.shape
+    N = wqkv.shape[1]
+    if N % min(chunk, N):
+        chunk = _pick_chunk(N, chunk)
+    chunk = min(chunk, N)
+    return pl.pallas_call(
+        _ln_qkv_kernel,
+        grid=(N // chunk,),
+        in_specs=[
+            pl.BlockSpec((B, C), lambda i: (0, 0)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C, chunk), lambda i: (0, i)),
+            # chunked 1D blocks trip Mosaic's window tiling -> pass as [1, N]
+            pl.BlockSpec((1, chunk), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((B, chunk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((B, C), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv, bqkv.reshape(1, N))
+
+
+def _proj_mlp_kernel(
+    x_ref, y_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, o_ref, x2_s, h_s, acc_s,
+    *, gelu_version: str,
+):
+    i = pl.program_id(0)
+    nc = pl.num_programs(0)
+    prec = _prec(x_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        proj = jnp.dot(
+            y_ref[:], wo_ref[:], preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(x_ref.dtype)
+        x2 = x_ref[:] + (proj + bo_ref[:])
+        x2_s[:] = x2
+        h_s[:] = _ln(x2, lns_ref[:], lnb_ref[:], h_s.dtype)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    t = jnp.dot(
+        h_s[:], w1_ref[:], preferred_element_type=jnp.float32, precision=prec
+    ) + b1_ref[:].astype(jnp.float32)
+    t = _gelu(t, gelu_version).astype(x_ref.dtype)
+    acc_s[:] += jnp.dot(
+        t, w2_ref[:], preferred_element_type=jnp.float32, precision=prec
+    )
+
+    @pl.when(i == nc - 1)
+    def _():
+        m = (acc_s[:] + b2_ref[:].astype(jnp.float32)).astype(x_ref.dtype)
+        o_ref[:] = x2_s[:] + m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gelu_version", "chunk", "interpret")
+)
+def fused_proj_mlp(
+    x, y, wo, bo, ln_scale, ln_bias, w1, b1, w2, b2,
+    gelu_version="v1", chunk=1536, interpret=False,
+):
+    """Attention-output projection + residual + LN2 + MLP + residual:
+      x2 = x + y @ wo + bo; out = x2 + gelu(LN(x2) @ w1 + b1) @ w2 + b2
+    w1 [C, H] / w2 [H, C] streamed in H-chunks (double-buffered by the
+    pallas grid pipeline); x/y/wo and the x2/h2/acc blocks stay in VMEM."""
+    B, C = x.shape
+    H = w1.shape[1]
+    if H % min(chunk, H):
+        chunk = _pick_chunk(H, chunk)
+    chunk = min(chunk, H)
+    kern = functools.partial(_proj_mlp_kernel, gelu_version=gelu_version)
+    return pl.pallas_call(
+        kern,
+        grid=(H // chunk,),
+        in_specs=[
+            pl.BlockSpec((B, C), lambda i: (0, 0)),
+            pl.BlockSpec((B, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C, chunk), lambda i: (0, i)),
+            pl.BlockSpec((1, chunk), lambda i: (0, i)),  # b1 as [1, H]
+            pl.BlockSpec((chunk, C), lambda i: (i, 0)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+        ],
+        out_specs=pl.BlockSpec((B, C), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, C), x.dtype),
+            pltpu.VMEM((B, C), x.dtype),
+            pltpu.VMEM((B, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x, y, wo, bo, ln_scale, ln_bias, w1, b1.reshape(1, H), w2, b2)
