@@ -511,8 +511,16 @@ def _use_pallas_decode_dense(C: int, dtype, batch: int) -> bool:
     'pallas' routes LN1+QKV and proj+LN2+MLP through the weight-streaming
     kernels in ops/decode_layer_kernel.py (wqkv/w1/w2 chunks ride the
     pallas grid DMA pipeline while the [B, C] activation block stays in
-    VMEM). RQVAE_TPU_DECODE_DENSE: 'pallas' forces, 'xla' forces the
-    fused-emitter path, 'auto' follows the measured policy.
+    VMEM). Measured end-to-end at bs100 (1.4B, bf16): 7.75 -> 7.64
+    ms/sample (AR 6.20 -> 6.10); the 3x microbench win (tools/
+    exp_mlp_kernel.py: 213 -> 70 us/layer) is mostly absorbed by XLA's
+    weight prefetch already overlapping in-program. Combining with the
+    Pallas attention kernel at bs100 REGRESSES (8.27 — adjacent opaque
+    custom calls cannot overlap each other's DMA), so dense-auto engages
+    only where the attention stays on XLA (batch < 150); the bs200/bs500
+    operating points keep their measured pure-XLA-dense configurations.
+    RQVAE_TPU_DECODE_DENSE: 'pallas' forces, 'xla' forces the
+    fused-emitter path, 'auto' follows this measured policy.
     """
     import os as _os
 
@@ -526,7 +534,7 @@ def _use_pallas_decode_dense(C: int, dtype, batch: int) -> bool:
         return legal
     if mode == "xla":
         return False
-    return False  # auto: off until the end-to-end measurement says otherwise
+    return legal and batch < 150
 
 
 def _head_seg(C: int, n_head: int, dtype):

@@ -138,7 +138,12 @@ def main():
         b1s = [jnp.zeros((H,), DT) for _ in range(L)]
         b2s = [jnp.zeros((C,), DT) for _ in range(L)]
 
-        def chain(fn, x0):
+        def chain(fn, x0, W):
+            # weights must be jit ARGS: a closure embeds them as HLO
+            # constants and the remote-compile upload rejects the body
+            # (HTTP 413) or crawls for many minutes
+            lns, lnb, w1s, w2s, b1s, b2s = W
+
             def step(x, _):
                 for l in range(L):
                     x = fn(x, lns[l], lnb[l], w1s[l], b1s[l], w2s[l], b2s[l])
@@ -146,6 +151,8 @@ def main():
 
             y, _ = jax.lax.scan(step, x0, None, length=ITERS)
             return y.sum()
+
+        W = (lns, lnb, w1s, w2s, b1s, b2s)
 
         # numeric check first (jit both: eager ops each pay a remote compile)
         ref1 = jax.jit(xla_mlp)(x0, lns[0], lnb[0], w1s[0], b1s[0], w2s[0], b2s[0])
@@ -156,11 +163,11 @@ def main():
         for name, fn in (("xla", xla_mlp), ("pallas", pallas_mlp)):
             f = jax.jit(functools.partial(chain, fn))
             try:
-                fetch(f(x0))
+                fetch(f(x0, W))
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.time()
-                    fetch(f(x0))
+                    fetch(f(x0, W))
                     best = min(best, time.time() - t0)
                 t = max(best - rtt, 1e-9) / ITERS / L
                 row.append(f"{name} {t*1e6:7.1f}us ({gb/L/t:5.0f} GB/s)")
