@@ -65,3 +65,31 @@ def test_decode_attention_matches_full_attention():
     new = xs[:, cur : cur + 1]
     got = M._decode_attention_xla(new, new, new, k_l, v_l, jnp.int32(cur), nh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(full), atol=1e-5)
+
+
+def test_auto_dispatch_policy(monkeypatch):
+    """Pin the measured auto policy (COVERAGE.md round-2 perf notes): one
+    custom-call family per operating point — dense pallas < 150, pure XLA
+    150-300, attention pallas >= 300. On non-TPU backends everything
+    falls back to XLA."""
+    monkeypatch.delenv("RQVAE_TPU_DECODE_ATTN", raising=False)
+    monkeypatch.delenv("RQVAE_TPU_DECODE_DENSE", raising=False)
+    C, nh, dt = 1536, 24, jnp.bfloat16
+
+    # CPU (tests force it): all kernels off in auto
+    assert not M._use_pallas_decode_attn(64, C, nh, dt, batch=500)
+    assert not M._use_pallas_decode_dense(C, dt, batch=100)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    for batch, want_attn, want_dense in [
+        (100, False, True), (200, False, False), (500, True, False),
+    ]:
+        assert M._use_pallas_decode_attn(64, C, nh, dt, batch=batch) == want_attn
+        assert M._use_pallas_decode_dense(C, dt, batch=batch) == want_dense
+    # tiny head caches never take the attention kernel
+    assert not M._use_pallas_decode_attn(4, C, nh, dt, batch=500)
+    # forced modes override
+    monkeypatch.setenv("RQVAE_TPU_DECODE_ATTN", "pallas")
+    assert M._use_pallas_decode_attn(64, C, nh, dt, batch=100)
+    monkeypatch.setenv("RQVAE_TPU_DECODE_DENSE", "xla")
+    assert not M._use_pallas_decode_dense(C, dt, batch=100)
