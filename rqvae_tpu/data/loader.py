@@ -21,11 +21,34 @@ from __future__ import annotations
 
 import queue
 import threading
+import traceback
 from typing import Callable, Iterator, Optional
 
 import numpy as np
 
 import jax
+
+
+class _WorkerError:
+    """Picklable carrier for a worker-process exception + traceback."""
+
+    def __init__(self, msg: str):
+        self.msg = msg
+
+
+def _mp_worker(dataset, collate, task_q, result_q):
+    """Decode worker process: pulls (seq, index-array) tasks, pushes
+    (seq, collated-numpy-batch). Runs until the None sentinel. Module-level
+    so both fork and spawn contexts can target it."""
+    while True:
+        item = task_q.get()
+        if item is None:
+            return
+        seq, idx = item
+        try:
+            result_q.put((seq, collate([dataset[i] for i in idx])))
+        except BaseException:
+            result_q.put((seq, _WorkerError(traceback.format_exc())))
 
 
 def shard_indices(
@@ -66,6 +89,8 @@ class DataLoader:
         collate: Optional[Callable] = None,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        num_procs: int = 0,  # > 0: decode in worker PROCESSES (no GIL)
+        mp_context: str = "fork",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -74,6 +99,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.num_procs = num_procs
+        self.mp_context = mp_context
         self.sharding = sharding
         self.collate = collate or default_collate
         self.process_index = (
@@ -126,6 +153,9 @@ class DataLoader:
         idx = self._indices()
         bs = self.local_batch_size
         batches = [idx[i : i + bs] for i in range(0, len(idx), bs)]
+        if self.num_procs > 0:
+            yield from self._iter_processes(batches)
+            return
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -169,6 +199,77 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+    def _iter_processes(self, batches) -> Iterator:
+        """Process-parallel decode: JPEG decode/augment runs in `num_procs`
+        worker PROCESSES (true parallelism — the threaded path tops out
+        near one core's decode rate once the GIL saturates), batches come
+        back over bounded queues with order restored, and the device-put
+        stays in the main process (workers never touch jax).
+
+        Backpressure/deadlock-freedom: the consumer ALWAYS drains result_q
+        (out-of-order results are held in a local reorder buffer whose size
+        is bounded by in-flight tasks <= task-queue depth + num_procs), so
+        a full result_q can always make progress. `mp_context='fork'`
+        (default) inherits the dataset copy-on-write — use 'spawn' (dataset
+        must pickle) if the parent holds state that must not be forked.
+        """
+        import multiprocessing as mp
+
+        ctx = mp.get_context(self.mp_context)
+        task_q = ctx.Queue(maxsize=2 * self.num_procs)
+        result_q = ctx.Queue(maxsize=self.num_procs + max(1, self.prefetch))
+        workers = [
+            ctx.Process(
+                target=_mp_worker,
+                args=(self.dataset, self.collate, task_q, result_q),
+                daemon=True,
+            )
+            for _ in range(self.num_procs)
+        ]
+        for w in workers:
+            w.start()
+        stop = threading.Event()
+
+        def feeder():
+            for seq, b in enumerate(batches):
+                while not stop.is_set():
+                    try:
+                        task_q.put((seq, b), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            for _ in workers:
+                while not stop.is_set():
+                    try:
+                        task_q.put(None, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        ft = threading.Thread(target=feeder, daemon=True)
+        ft.start()
+        try:
+            held: dict = {}
+            for want in range(len(batches)):
+                while want not in held:
+                    seq, payload = result_q.get()
+                    held[seq] = payload
+                payload = held.pop(want)
+                if isinstance(payload, _WorkerError):
+                    raise RuntimeError(
+                        f"data worker failed:\n{payload.msg}"
+                    )
+                yield self._to_device(payload)
+        finally:
+            stop.set()
+            for w in workers:
+                w.terminate()
+            for w in workers:
+                w.join(timeout=5)
 
 
 def default_collate(items):

@@ -167,6 +167,168 @@ def quantize_transformer_params(params: dict) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# decode dispatch policy
+# ---------------------------------------------------------------------------
+#
+# The decode path ships several mathematically-identical formulations whose
+# winner depends on the operating point (measured policy table below, from
+# tools/exp_pallas_attn.py / exp_mlp_kernel.py / perf_probe.py; see
+# COVERAGE.md "round-2/3 perf"). ALL selection state lives in this one
+# DecodePolicy value: it is resolved from the environment exactly once at
+# the `sampling.sample()` boundary (a plain Python wrapper), then threaded
+# through the jitted implementation as a static argument — so flipping an
+# env var between calls takes effect predictably (new static key -> new
+# compile), and nothing inside model internals reads os.environ.
+#
+# Measured auto policy (1.4B cIN256 geometry, v5e, bf16):
+#   attention:  vpu (broadcast-mul scores) below bs150; mxu (head-segment
+#               matrix dot) bs150-300; pallas fused kernel >= bs300 where
+#               legal. Stacked-cache path (long sequences): mxu when
+#               B*t_max >= 10000 else vpu. Tiny head caches (T < 16)
+#               always XLA.
+#   dense:      pallas weight-streaming kernels below bs150 (where the
+#               attention stays on XLA — adjacent Pallas custom calls
+#               serialize each other's DMA), XLA fusions above.
+#   unroll:     per-layer python-unrolled caches for HW <= 128; stacked
+#               lax.scan cache beyond (XLA stops aliasing many separate
+#               cache buffers in place at long HW).
+#   phases:     2 static cache-window phases.
+
+
+class DecodePolicy(NamedTuple):
+    """Static decode-path backend selection (hashable: safe as a jit key).
+
+    Fields may stay 'auto': resolution to a concrete backend is a pure
+    function of the call-site geometry (resolve_attn_backend /
+    resolve_dense_backend), so an 'auto' policy is still a deterministic
+    jit key. `unroll=None` means "HW <= 128 heuristic".
+    """
+
+    attn: str = "auto"  # 'auto' | 'vpu' | 'mxu' | 'pallas'
+    attn_v: str = "vpu"  # 'vpu' | 'mxu' (mxu measured slower; experiments)
+    dense: str = "auto"  # 'auto' | 'xla' | 'pallas'
+    unroll: Optional[bool] = None
+    phases: int = 2
+    exact_sample: bool = False  # reference-exact top-k tie semantics
+
+
+DEFAULT_POLICY = DecodePolicy()
+
+
+def decode_policy_from_env() -> DecodePolicy:
+    """Read the RQVAE_TPU_* knobs into a DecodePolicy. Called ONLY by
+    non-jitted entry points (sampling.sample, benches); everything below
+    takes the policy as an argument."""
+    import os as _os
+    import warnings
+
+    def _get(name, default=""):
+        return _os.environ.get(name, default).strip().lower()
+
+    attn = _get("RQVAE_TPU_DECODE_ATTN", "auto") or "auto"
+    if attn not in ("auto", "vpu", "mxu", "pallas"):
+        warnings.warn(f"RQVAE_TPU_DECODE_ATTN={attn!r} not understood; using auto")
+        attn = "auto"
+    attn_v = "mxu" if _get("RQVAE_TPU_DECODE_ATTN_V") == "mxu" else "vpu"
+    dense = _get("RQVAE_TPU_DECODE_DENSE", "auto") or "auto"
+    if dense not in ("auto", "xla", "pallas"):
+        warnings.warn(f"RQVAE_TPU_DECODE_DENSE={dense!r} not understood; using auto")
+        dense = "auto"
+    unroll_env = _get("RQVAE_TPU_SAMPLE_UNROLL")
+    if unroll_env in ("1", "true", "yes"):
+        unroll = True
+    elif unroll_env in ("0", "false", "no"):
+        unroll = False
+    else:
+        if unroll_env:
+            warnings.warn(
+                f"RQVAE_TPU_SAMPLE_UNROLL={unroll_env!r} not understood; "
+                "using the HW<=128 heuristic"
+            )
+        unroll = None
+    try:
+        phases = int(_os.environ.get("RQVAE_TPU_SAMPLE_PHASES", "2") or 2)
+    except ValueError:
+        warnings.warn("RQVAE_TPU_SAMPLE_PHASES not an int; using 2")
+        phases = 2
+    exact = _get("RQVAE_TPU_SAMPLE_EXACT") in ("1", "true", "yes")
+    return DecodePolicy(
+        attn=attn, attn_v=attn_v, dense=dense, unroll=unroll,
+        phases=phases, exact_sample=exact,
+    )
+
+
+def sublane_tile(dtype) -> int:
+    """Mosaic second-minor tile: 16 rows bf16, 8 rows fp32."""
+    return 16 if dtype == jnp.bfloat16 else 8
+
+
+def _pallas_attn_legal(t_max: int, C: int, n_head: int, dtype, cache_T: int) -> bool:
+    """Whether ops/attention_kernel.decode_attention can serve this geometry.
+
+    Beyond shape/dtype/backend constraints, the kernel's cache window
+    W = min(cache_T, round_up(t_max, sublane)) must itself be
+    sublane-aligned or Mosaic rejects the block shape — guaranteed when the
+    cache allocation is tile-aligned (the sampler rounds its unrolled cache
+    T up; extra rows are masked by cur_len) or when the rounded window fits
+    inside the cache."""
+    sub = sublane_tile(dtype)
+    w_aligned = (-(-t_max // sub) * sub <= cache_T) or (cache_T % sub == 0)
+    return (
+        t_max >= 16
+        and C % n_head == 0
+        and C % 128 == 0
+        and dtype in (jnp.bfloat16, jnp.float32)
+        and w_aligned
+        and jax.default_backend() == "tpu"
+    )
+
+
+def resolve_attn_backend(
+    mode: str,
+    *,
+    batch: int,
+    t_max: int,
+    C: int,
+    n_head: int,
+    dtype,
+    cache_T: int,
+    stacked: bool = False,
+) -> str:
+    """THE decode-attention policy table -> concrete backend
+    ('vpu' | 'mxu' | 'pallas'). See the module-level policy notes for the
+    measurements behind each threshold."""
+    if mode in ("vpu", "mxu"):
+        return mode
+    legal = (not stacked) and _pallas_attn_legal(t_max, C, n_head, dtype, cache_T)
+    if mode == "pallas" and legal:
+        return "pallas"
+    if stacked:
+        return "mxu" if batch * t_max >= 10000 else "vpu"
+    if mode != "pallas" and legal and t_max >= 32 and batch >= 300:
+        return "pallas"
+    return "mxu" if batch >= 150 else "vpu"
+
+
+def resolve_dense_backend(mode: str, *, batch: int, C: int, dtype) -> str:
+    """Dense-half policy table -> 'xla' | 'pallas' (weight-streaming
+    kernels, ops/decode_layer_kernel.py) | 'mega' (whole-layer fused
+    kernel, ops/decode_megakernel.py — experimental, forced only)."""
+    legal = (
+        C % 128 == 0
+        and dtype in (jnp.bfloat16, jnp.float32)
+        and jax.default_backend() == "tpu"
+    )
+    if mode == "mega":
+        return "mega" if legal else "xla"
+    if mode == "pallas":
+        return "pallas" if legal else "xla"
+    if mode == "xla":
+        return "xla"
+    return "pallas" if (legal and batch < 150) else "xla"
+
+
+# ---------------------------------------------------------------------------
 # primitives
 # ---------------------------------------------------------------------------
 
@@ -294,6 +456,7 @@ def stack_step(
     cur_len: jax.Array,  # int32 scalar: tokens already in cache
     cfg: StackConfig,
     window: Optional[int] = None,  # static: read only cache[:window] (KV BW)
+    attn_mode: str = "auto",  # policy.attn ('pallas' falls back to XLA here)
 ) -> tuple[jax.Array, KVCache]:
     """One cached decode/prefill step for the whole stacked layer scan.
 
@@ -323,14 +486,13 @@ def stack_step(
     def attention_decode(q, k, v, k_l, v_l):
         """S=1 path on the unpadded [B, T, C] cache: VPU broadcast-mul +
         segment-reduce scores at small B*T, MXU head-segment-matrix dot at
-        large B*T (see _decode_attention_xla for the measured crossover;
+        large B*T (see resolve_attn_backend for the measured crossover;
         the stacked path serves long-sequence geometries where T alone
         pushes the VPU score stream past its ~290 GB/s ceiling)."""
-        import os as _os
-
-        mode = _os.environ.get("RQVAE_TPU_DECODE_ATTN", "auto").strip().lower()
-        if mode not in ("vpu", "mxu"):
-            mode = "mxu" if B * t_max >= 10000 else "vpu"
+        mode = resolve_attn_backend(
+            attn_mode, batch=B, t_max=t_max, C=C, n_head=n_head,
+            dtype=k_l.dtype, cache_T=full_t_max, stacked=True,
+        )
         if mode == "mxu":
             seg = _head_seg(C, n_head, k_l.dtype)
             # bf16 inputs MAC exactly on the MXU (fp32 accumulate); fp32
@@ -470,73 +632,6 @@ def init_unrolled_kv_cache(cfg: StackConfig, batch: int, t_max: int, dtype=jnp.f
     )
 
 
-def _use_pallas_decode_attn(
-    t_max: int, C: int, n_head: int, dtype, batch: int | None = None
-) -> bool:
-    """Decode-attention backend selection (trace-time, static).
-
-    The Pallas fused kernel (ops/attention_kernel.py) streams the KV cache
-    at ~740 GB/s (91% of the 819 GB/s paper peak) vs ~560-620 for the XLA
-    formulations (tools/exp_pallas_attn.py, 24-layer HBM-resident chain).
-    End-to-end it wins only at large batch (bs500: AR 4.94 -> 4.71 with
-    sublane-aligned phase windows; bs200: 5.02 vs 4.93 for mxu — crossover
-    between 200 and 500): at small batch the decode loop sits at an
-    aggregate ~600 GB/s equilibrium and the locally-faster kernel just
-    shifts time into weight-prefetch waits (traced: +55ms/iter of sync
-    slice-done at bs100). The tiny depth-head caches (T=4) always stay on
-    XLA. RQVAE_TPU_DECODE_ATTN: 'pallas' forces (where legal), 'vpu'/'mxu'
-    force the XLA paths, default 'auto' uses pallas for windows >= 32 and
-    batch >= 300 on TPU backends.
-    """
-    import os as _os
-
-    mode = _os.environ.get("RQVAE_TPU_DECODE_ATTN", "auto").strip().lower()
-    legal = (
-        t_max >= 16
-        and C % n_head == 0
-        and C % 128 == 0
-        and dtype in (jnp.bfloat16, jnp.float32)
-        and jax.default_backend() == "tpu"
-    )
-    if mode == "pallas":
-        return legal
-    if mode in ("vpu", "mxu"):
-        return False
-    return legal and t_max >= 32 and (batch is None or batch >= 300)
-
-
-def _use_pallas_decode_dense(C: int, dtype, batch: int) -> bool:
-    """Dense-half backend selection for the S=1 decode step (trace-time).
-
-    'pallas' routes LN1+QKV and proj+LN2+MLP through the weight-streaming
-    kernels in ops/decode_layer_kernel.py (wqkv/w1/w2 chunks ride the
-    pallas grid DMA pipeline while the [B, C] activation block stays in
-    VMEM). Measured end-to-end at bs100 (1.4B, bf16): 7.75 -> 7.64
-    ms/sample (AR 6.20 -> 6.10); the 3x microbench win (tools/
-    exp_mlp_kernel.py: 213 -> 70 us/layer) is mostly absorbed by XLA's
-    weight prefetch already overlapping in-program. Combining with the
-    Pallas attention kernel at bs100 REGRESSES (8.27 — adjacent opaque
-    custom calls cannot overlap each other's DMA), so dense-auto engages
-    only where the attention stays on XLA (batch < 150); the bs200/bs500
-    operating points keep their measured pure-XLA-dense configurations.
-    RQVAE_TPU_DECODE_DENSE: 'pallas' forces, 'xla' forces the
-    fused-emitter path, 'auto' follows this measured policy.
-    """
-    import os as _os
-
-    mode = _os.environ.get("RQVAE_TPU_DECODE_DENSE", "auto").strip().lower()
-    legal = (
-        C % 128 == 0
-        and dtype in (jnp.bfloat16, jnp.float32)
-        and jax.default_backend() == "tpu"
-    )
-    if mode == "pallas":
-        return legal
-    if mode == "xla":
-        return False
-    return legal and batch < 150
-
-
 def _head_seg(C: int, n_head: int, dtype):
     """Constant 0/1 head-segment matrix seg[c, h] = (c // hs == h)."""
     hs = C // n_head
@@ -546,11 +641,11 @@ def _head_seg(C: int, n_head: int, dtype):
     )
 
 
-def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head):
+def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head, mode="auto", v_mode="vpu"):
     """S=1 attention against one layer's [B, T, C] cache (same math as
     stack_step's attention_decode).
 
-    Two formulations, selected by RQVAE_TPU_DECODE_ATTN (trace-time):
+    Two formulations, selected by `mode` (from the DecodePolicy, static):
       'vpu': per-head scores via broadcast-mul + segment reduce — wins at
         small batch (bs100: 6.18 vs 6.48 AR ms/sample, 1.4B).
       'mxu': scores as one batched MXU dot against the 0/1 head-segment
@@ -560,10 +655,10 @@ def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head):
         elementwise ceiling and scales with T*B, while qseg scales only
         with B — measured wins at bs200 (4.93 vs 5.18) and bs500
         (4.94 vs 5.12).
-      default 'auto': mxu for B >= 150, vpu below.
-    RQVAE_TPU_DECODE_ATTN_V='mxu' additionally routes the V-weighted sum
-    through segment dots — measured SLOWER everywhere (bs500: 5.40 vs
-    4.94); kept for experiments only.
+      'auto'/'pallas': resolved here to mxu for B >= 150, vpu below.
+    v_mode='mxu' additionally routes the V-weighted sum through segment
+    dots — measured SLOWER everywhere (bs500: 5.40 vs 4.94); kept for
+    experiments only.
     """
     B, _, C = q.shape
     t_max = k_l.shape[1]
@@ -572,9 +667,6 @@ def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head):
     past_mask_t1 = (
         jax.lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1) < cur_len
     )
-    import os as _os
-
-    mode = _os.environ.get("RQVAE_TPU_DECODE_ATTN", "auto").strip().lower()
     if mode not in ("vpu", "mxu"):
         mode = "mxu" if B >= 150 else "vpu"
     if mode == "mxu":
@@ -612,7 +704,7 @@ def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head):
     p_att = jax.nn.softmax(s, axis=1)
     w_past = p_att[:, :t_max].astype(v_l.dtype)
     w_self = p_att[:, t_max:].astype(v.dtype)
-    if _os.environ.get("RQVAE_TPU_DECODE_ATTN_V", "").strip().lower() == "mxu":
+    if v_mode == "mxu":
         seg = _head_seg(C, n_head, v_l.dtype)
         vprec = (
             jax.lax.Precision.HIGHEST if v_l.dtype == jnp.float32 else None
@@ -639,6 +731,7 @@ def stack_step_unrolled(
     cur_len: jax.Array,
     cfg: StackConfig,
     window: Optional[int] = None,  # static: attention reads cache[:window]
+    policy: DecodePolicy = DEFAULT_POLICY,
 ):
     """Unrolled cached decode/prefill step. Semantically identical to
     `stack_step` on the stacked cache (asserted in tests); faster at decode
@@ -651,7 +744,8 @@ def stack_step_unrolled(
     B, S, C = x.shape
     n_head = cfg.n_head
     hs = C // n_head
-    t_max = caches[0][0].shape[1]
+    cache_T = caches[0][0].shape[1]
+    t_max = cache_T
     if window is not None:
         t_max = min(window, t_max)
     scale = 1.0 / np.sqrt(hs)
@@ -662,22 +756,92 @@ def stack_step_unrolled(
         )
         chunk_mask = jnp.tril(jnp.ones((S, S), dtype=bool))
 
-    dense_mode = S == 1 and _use_pallas_decode_dense(C, x.dtype, B)
+    attn_backend = resolve_attn_backend(
+        policy.attn, batch=B, t_max=t_max, C=C, n_head=n_head,
+        dtype=caches[0][0].dtype, cache_T=cache_T,
+    )
+    dense_backend = (
+        resolve_dense_backend(policy.dense, batch=B, C=C, dtype=x.dtype)
+        if S == 1
+        else "xla"
+    )
+    dense_mode = dense_backend == "pallas"
+    sub = sublane_tile(caches[0][0].dtype)
+    lp0 = layer_params[0]
+    mega_ok = (
+        dense_backend == "mega"
+        and "wqkv" in lp0["attn"]
+        and (-(-t_max // sub) * sub <= cache_T or cache_T % sub == 0)
+        and not any(
+            isinstance(w, QuantizedWeight)
+            for w in (
+                lp0["attn"]["wqkv"], lp0["attn"]["wo"],
+                lp0["mlp"]["w1"], lp0["mlp"]["w2"],
+            )
+        )
+    )
+
+    if mega_ok:
+        from rqvae_tpu.ops import decode_megakernel as _MK
+
+        W = min(cache_T, -(-t_max // sub) * sub)
+        xt = x[:, 0, :]
+        new_caches = []
+        for lp, (k_l, v_l) in zip(layer_params, caches):
+            xt, k_new, v_new = _MK.decode_layer_step(
+                xt, k_l, v_l, cur_len,
+                lp["ln1"]["scale"], lp["ln1"]["bias"],
+                lp["attn"]["wqkv"], lp["attn"]["bqkv"],
+                lp["attn"]["wo"], lp["attn"]["bo"],
+                lp["ln2"]["scale"], lp["ln2"]["bias"],
+                lp["mlp"]["w1"], lp["mlp"]["b1"],
+                lp["mlp"]["w2"], lp["mlp"]["b2"],
+                n_head=n_head, t_window=W, t_chunk=sub,
+                gelu_version=cfg.gelu,
+            )
+            new_caches.append(
+                (
+                    jax.lax.dynamic_update_slice(
+                        k_l, k_new[:, None].astype(k_l.dtype), (0, cur_len, 0)
+                    ),
+                    jax.lax.dynamic_update_slice(
+                        v_l, v_new[:, None].astype(v_l.dtype), (0, cur_len, 0)
+                    ),
+                )
+            )
+        return xt[:, None, :], tuple(new_caches)
 
     new_caches = []
     for lp, (k_l, v_l) in zip(layer_params, caches):
-        dense_ok = (
-            dense_mode
-            and "wqkv" in lp["attn"]
-            and not isinstance(lp["attn"]["wqkv"], QuantizedWeight)
+        # the dense kernels consume wqkv, wo, w1 AND w2: route fully-plain
+        # layers through the bf16 streaming kernels and fully-int8 layers
+        # through the q8 variants (int8 DMA at half the bytes, in-kernel
+        # dequant into the MXU feed); a PARTIALLY quantized layer — which
+        # quantize_stack_params never produces — falls back to XLA rather
+        # than reaching a kernel with a QuantizedWeight pytree
+        n_quant = sum(
+            isinstance(w, QuantizedWeight)
+            for w in (
+                lp["attn"].get("wqkv"), lp["attn"]["wo"],
+                lp["mlp"]["w1"], lp["mlp"]["w2"],
+            )
         )
+        dense_ok = dense_mode and "wqkv" in lp["attn"] and n_quant in (0, 4)
+        dense_q8 = dense_ok and n_quant == 4
         if dense_ok:
             from rqvae_tpu.ops import decode_layer_kernel as _DK
 
-            qkv = _DK.fused_ln_qkv(
-                x[:, 0, :], lp["ln1"]["scale"], lp["ln1"]["bias"],
-                lp["attn"]["wqkv"], lp["attn"]["bqkv"],
-            )[:, None, :]
+            if dense_q8:
+                qkv = _DK.fused_ln_qkv_q8(
+                    x[:, 0, :], lp["ln1"]["scale"], lp["ln1"]["bias"],
+                    lp["attn"]["wqkv"].q, lp["attn"]["wqkv"].scale,
+                    lp["attn"]["bqkv"],
+                )[:, None, :]
+            else:
+                qkv = _DK.fused_ln_qkv(
+                    x[:, 0, :], lp["ln1"]["scale"], lp["ln1"]["bias"],
+                    lp["attn"]["wqkv"], lp["attn"]["bqkv"],
+                )[:, None, :]
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             h = layer_norm(x, lp["ln1"]["scale"], lp["ln1"]["bias"])
@@ -689,12 +853,13 @@ def stack_step_unrolled(
                 k = _mm(h, lp["attn"]["wk"]) + lp["attn"]["bk"]
                 v = _mm(h, lp["attn"]["wv"]) + lp["attn"]["bv"]
         if S == 1:
-            if _use_pallas_decode_attn(t_max, C, n_head, k_l.dtype, batch=B):
+            if attn_backend == "pallas":
                 from rqvae_tpu.ops import attention_kernel as _AK
 
                 # round the window up to the sublane tile so Mosaic gets an
                 # aligned cache block; rows in [cur_len, W) are masked out
-                sub = 16 if k_l.dtype == jnp.bfloat16 else 8
+                # (alignment of the result is part of _pallas_attn_legal)
+                sub = sublane_tile(k_l.dtype)
                 W = min(k_l.shape[1], -(-t_max // sub) * sub)
                 y = _AK.decode_attention(
                     q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
@@ -702,7 +867,8 @@ def stack_step_unrolled(
                 )[:, None, :]
             else:
                 y = _decode_attention_xla(
-                    q, k, v, k_l[:, :t_max], v_l[:, :t_max], cur_len, n_head
+                    q, k, v, k_l[:, :t_max], v_l[:, :t_max], cur_len, n_head,
+                    mode=attn_backend, v_mode=policy.attn_v,
                 )
         else:
             q4 = q.reshape(B, S, n_head, hs)
@@ -725,7 +891,16 @@ def stack_step_unrolled(
                 "bhst,bthd->bshd", att[..., t_max:], v4
             )
             y = y.reshape(B, S, C)
-        if dense_ok and not isinstance(lp["attn"]["wo"], QuantizedWeight):
+        if dense_ok and dense_q8:
+            x = _DK.fused_proj_mlp_q8(
+                x[:, 0, :], y[:, 0, :],
+                lp["attn"]["wo"].q, lp["attn"]["wo"].scale, lp["attn"]["bo"],
+                lp["ln2"]["scale"], lp["ln2"]["bias"],
+                lp["mlp"]["w1"].q, lp["mlp"]["w1"].scale, lp["mlp"]["b1"],
+                lp["mlp"]["w2"].q, lp["mlp"]["w2"].scale, lp["mlp"]["b2"],
+                gelu_version=cfg.gelu,
+            )[:, None, :]
+        elif dense_ok:
             x = _DK.fused_proj_mlp(
                 x[:, 0, :], y[:, 0, :],
                 lp["attn"]["wo"], lp["attn"]["bo"],

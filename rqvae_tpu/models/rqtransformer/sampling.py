@@ -148,18 +148,6 @@ def _vq_lookup(vq_state: rq.CodebookState, vq_config: rq.QuantizerConfig, d: int
     return rq.embed_lookup(cb, code)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "config",
-        "vq_config",
-        "batch_size",
-        "temperature",
-        "top_k",
-        "top_p",
-        "dtype",
-    ),
-)
 def sample(
     params: dict,
     config: TransformerConfig,
@@ -172,9 +160,57 @@ def sample(
     top_k=None,  # int or tuple per depth (static)
     top_p=None,  # float or tuple per depth (static)
     dtype=jnp.float32,
+    policy: Optional[M.DecodePolicy] = None,
 ) -> jax.Array:
     """Sample codes [B, H, W, D] (reference RQTransformer.sample
-    transformers.py:294-369, cached path)."""
+    transformers.py:294-369, cached path).
+
+    Plain-Python wrapper: resolves the decode DecodePolicy from the
+    environment HERE (the only env read on the decode path — flipping a
+    RQVAE_TPU_* knob between calls takes effect predictably because the
+    policy is a static jit key of `_sample`), then dispatches to the jitted
+    implementation."""
+    if policy is None:
+        policy = M.decode_policy_from_env()
+    H, W, _ = config.block_size
+    if policy.unroll is None:
+        policy = policy._replace(unroll=H * W <= 128)
+    return _sample(
+        params, config, rng, batch_size, cond, vq_state, vq_config,
+        temperature,
+        tuple(top_k) if isinstance(top_k, (list, tuple)) else top_k,
+        tuple(top_p) if isinstance(top_p, (list, tuple)) else top_p,
+        dtype, policy,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "vq_config",
+        "batch_size",
+        "temperature",
+        "top_k",
+        "top_p",
+        "dtype",
+        "policy",
+    ),
+)
+def _sample(
+    params: dict,
+    config: TransformerConfig,
+    rng: jax.Array,
+    batch_size: int,
+    cond: Optional[jax.Array] = None,
+    vq_state: Optional[rq.CodebookState] = None,
+    vq_config: Optional[rq.QuantizerConfig] = None,
+    temperature: float = 1.0,
+    top_k=None,
+    top_p=None,
+    dtype=jnp.float32,
+    policy: M.DecodePolicy = M.DEFAULT_POLICY,
+) -> jax.Array:
     H, W, D = config.block_size
     HW = H * W
     C = config.embed_dim
@@ -225,38 +261,33 @@ def sample(
     # 5.76 -> 5.19 ms/sample on the 1.4B body at bs100 (model.py notes).
     # At LONG spatial sequences the unrolled form backfires (f16-d1:
     # 255 steps x 48 layers measured 129 vs 65 ms/sample stacked — XLA
-    # stops aliasing the many separate cache buffers in place), so fall
-    # back to the stacked-cache scan beyond 128 positions.
-    import os as _os
-
-    _unroll_env = _os.environ.get("RQVAE_TPU_SAMPLE_UNROLL", "").strip().lower()
-    if _unroll_env in ("1", "true", "yes"):
-        use_unrolled = True
-    elif _unroll_env in ("0", "false", "no"):
-        use_unrolled = False
-    else:
-        if _unroll_env:
-            import warnings
-
-            warnings.warn(
-                f"RQVAE_TPU_SAMPLE_UNROLL={_unroll_env!r} not understood; "
-                "using the HW<=128 heuristic"
-            )
-        use_unrolled = HW <= 128
+    # stops aliasing the many separate cache buffers in place), so the
+    # default policy falls back to the stacked-cache scan beyond 128
+    # positions (resolved in `sample`).
+    use_unrolled = policy.unroll if policy.unroll is not None else HW <= 128
 
     if use_unrolled:
         t_max = cond_len + HW - 1  # the last position's k/v are never read
+        # allocate the cache rounded up to the Mosaic sublane tile: the
+        # Pallas decode-attention kernel's window must be tile-aligned, and
+        # rows >= cur_len are masked anyway so the padding is free (fixes
+        # the unaligned-cache compile failure for conditional geometries
+        # whose cond_len + HW - 1 is not a tile multiple)
+        t_alloc = -(-t_max // M.sublane_tile(dtype)) * M.sublane_tile(dtype)
         body_lps = M.split_layer_params(params["body"], config.body)
         head_lps = M.split_layer_params(params["head"], config.head)
-        body_caches = M.init_unrolled_kv_cache(config.body, B, t_max, dtype)
+        body_caches = M.init_unrolled_kv_cache(config.body, B, t_alloc, dtype)
 
         def body_step(x, caches, cur_len, window=None):
             return M.stack_step_unrolled(
-                body_lps, x, caches, cur_len, config.body, window=window
+                body_lps, x, caches, cur_len, config.body, window=window,
+                policy=policy,
             )
 
         def head_step(row, caches, cur_len):
-            return M.stack_step_unrolled(head_lps, row, caches, cur_len, config.head)
+            return M.stack_step_unrolled(
+                head_lps, row, caches, cur_len, config.head, policy=policy
+            )
 
         def init_head_caches():
             return M.init_unrolled_kv_cache(config.head, B, D, dtype)
@@ -271,11 +302,15 @@ def sample(
 
         def body_step(x, caches, cur_len, window=None):
             return M.stack_step(
-                params["body"], x, caches, cur_len, config.body, window=window
+                params["body"], x, caches, cur_len, config.body, window=window,
+                attn_mode=policy.attn,
             )
 
         def head_step(row, caches, cur_len):
-            return M.stack_step(params["head"], row, caches, cur_len, config.head)
+            return M.stack_step(
+                params["head"], row, caches, cur_len, config.head,
+                attn_mode=policy.attn,
+            )
 
         def init_head_caches():
             return M.init_kv_cache(config.head, B, D, dtype)
@@ -289,6 +324,11 @@ def sample(
         vq_config.embed_dim if (config.head_emb_vqvae and vq_config is not None) else 1
     )
 
+    # policy.exact_sample selects the reference-exact top-k tie semantics
+    # (keeps ALL logits tied with the k-th value, utils.py:60-64) over the
+    # distribution-identical fast path (keeps exactly k)
+    draw_fn = sample_from_logits if policy.exact_sample else sample_from_logits_fast
+
     def depth_sample(rng, spatial_ctx):
         """Sample the D residual codes for one spatial position through the
         incremental depth head (tiny per-layer D-slot caches)."""
@@ -301,7 +341,7 @@ def sample(
             h, head_caches = head_step(row, head_caches, jnp.int32(d))
             logits = M.classifier_apply(params, config, h[:, 0, :], depth_idx=d)
             rng, sub = jax.random.split(rng)
-            code_d = sample_from_logits_fast(
+            code_d = draw_fn(
                 sub, logits, temperature, top_k_list[d], top_p_list[d]
             )
             codes_t.append(code_d)
@@ -344,27 +384,21 @@ def sample(
         return codes.transpose(1, 0, 2).reshape(B, H, W, D)
 
     n_steps = HW - 1
-    # default 2: measured AR ms/sample on the full 1.4B sampler at bs100:
-    # 1 phase 6.48, 2 phases 6.27, 3 phases 7.11 (more scan boundaries hurt
-    # pipelining more than the window saves); isolated body-only scans show
-    # a larger 2-phase win (5.26 -> 4.60) — the interleaved depth head
-    # dilutes it. Env knob for experiments.
-    try:
-        n_phases = int(_os.environ.get("RQVAE_TPU_SAMPLE_PHASES", "2") or 2)
-    except ValueError:
-        import warnings
-
-        warnings.warn("RQVAE_TPU_SAMPLE_PHASES not an int; using 2")
-        n_phases = 2
-    n_phases = min(max(1, n_phases), max(1, n_steps // 8))
+    # default 2 phases: measured AR ms/sample on the full 1.4B sampler at
+    # bs100: 1 phase 6.48, 2 phases 6.27, 3 phases 7.11 (more scan
+    # boundaries hurt pipelining more than the window saves); isolated
+    # body-only scans show a larger 2-phase win (5.26 -> 4.60) — the
+    # interleaved depth head dilutes it.
+    n_phases = min(max(1, policy.phases), max(1, n_steps // 8))
     bounds = [round(n_steps * i / n_phases) for i in range(n_phases + 1)]
-    if use_unrolled and M._use_pallas_decode_attn(
-        t_max, C, config.body.n_head, dtype, batch=B
-    ):
+    if use_unrolled and M.resolve_attn_backend(
+        policy.attn, batch=B, t_max=t_max, C=C, n_head=config.body.n_head,
+        dtype=dtype, cache_T=t_alloc,
+    ) == "pallas":
         # the Pallas decode-attention kernel rounds its cache window up to
         # the sublane tile; snap interior phase bounds down so each phase's
         # window (cond_len + e) is already aligned and nothing is over-read
-        sub = 16 if dtype == jnp.bfloat16 else 8
+        sub = M.sublane_tile(dtype)
         for i in range(1, n_phases):
             e_al = ((cond_len + bounds[i]) // sub) * sub - cond_len
             if e_al > bounds[i - 1]:

@@ -10,14 +10,19 @@ two heads per 128-lane register; general hs supported via the segment mask).
 Returns y [B, C]. The new token attends cache positions < cur_len plus
 itself (the sampler writes k/v into the cache separately).
 
-STATUS — measured and NOT shipped on the sampling path. tools/perf_probe.py
-benchmarks this kernel against the XLA elementwise attention inside the real
-1.4B body loop: the fp32 variant is VPU-bound (7.04 vs 5.77 ms/sample
-body-only at bs100), and a bf16 score variant hits a Mosaic internal error
-(v5e, jax 0.9 era). The XLA path (model.py::_decode_attention_xla) stays the
-default; this file is kept as the measured alternative, exercised by
-tests/test_attention_kernel.py and the probe so it cannot silently rot.
-Revisit if Mosaic gains bf16 lane-split reductions for merged-head layouts.
+STATUS — SHIPPED for batch >= 300 via the auto dispatch policy
+(model.resolve_attn_backend; RQVAE_TPU_DECODE_ATTN='pallas' forces it where
+legal). History: the round-1 fp32 variant measured SLOWER than XLA
+(VPU-bound, 7.04 vs 5.77 ms/sample body-only at bs100) because the caller
+jnp.pad-ed the 98MB cache — a full copy per call. The round-2 rewrite is
+pad-free (ragged batch via boundary-block masking, phase windows as
+BlockSpec prefix reads) with bf16 compute and fp32 softmax: it streams the
+cache at ~740 GB/s (91% of the 819 GB/s paper peak) vs ~600 for XLA
+(tools/exp_pallas_attn.py) and wins end-to-end at bs500 (AR 4.94 -> 4.71);
+below bs~300 the decode loop sits at an aggregate-bandwidth equilibrium and
+the locally-faster kernel only shifts time into weight-prefetch waits, so
+the XLA paths stay the default there (measured policy table in
+model.resolve_attn_backend). Equivalence: tests/test_attention_kernel.py.
 """
 
 from __future__ import annotations

@@ -92,14 +92,17 @@ def _ln_qkv_kernel(x_ref, lns_ref, lnb_ref, w_ref, b_ref, o_ref, h_s):
     def _():
         h_s[:] = _ln(x_ref[:], lns_ref[:], lnb_ref[:], h_s.dtype)
 
+    # bias added on the fp32 accumulator, ONE cast at the end — also keeps
+    # the store dtype correct when operand dtypes are mixed (fp32 weights
+    # with bf16 activations would otherwise promote the sum to fp32)
     o_ref[:] = (
         jnp.dot(
             h_s[:], w_ref[:],
             preferred_element_type=jnp.float32,
             precision=_prec(x_ref.dtype),
-        ).astype(o_ref.dtype)
-        + b_ref[:]
-    )
+        )
+        + b_ref[:].astype(jnp.float32)
+    ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
@@ -130,6 +133,64 @@ def fused_ln_qkv(x, ln_scale, ln_bias, wqkv, bqkv, chunk=1536, interpret=False):
         ),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv.reshape(1, N))
+
+
+def _ln_qkv_q8_kernel(x_ref, lns_ref, lnb_ref, wq_ref, ws_ref, b_ref, o_ref, h_s):
+    """int8 weight-streaming variant: wq chunks arrive as int8 (HALF the
+    HBM/DMA bytes of bf16 — the decode step is weight-bandwidth bound),
+    dequantized in VMEM into the MXU feed. int8 values are exact in bf16,
+    and the per-output-channel scale applies to the fp32 accumulator, so
+    the math matches the XLA path's (h @ q.astype(bf16)) * scale + b up to
+    fusion rounding."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        h_s[:] = _ln(x_ref[:], lns_ref[:], lnb_ref[:], h_s.dtype)
+
+    w = wq_ref[:].astype(h_s.dtype)
+    acc = jnp.dot(
+        h_s[:], w, preferred_element_type=jnp.float32, precision=_prec(h_s.dtype)
+    )
+    o_ref[:] = (
+        acc * ws_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def fused_ln_qkv_q8(
+    x, ln_scale, ln_bias, wqkv_q, wqkv_scale, bqkv, chunk=1536, interpret=False
+):
+    """fused_ln_qkv for int8-quantized wqkv (model.QuantizedWeight): q
+    [C, N] int8 streamed in N-column chunks, scale [..., 1, N] applied to
+    the fp32 accumulator. Returns [B, N] in x.dtype."""
+    B, C = x.shape
+    N = wqkv_q.shape[1]
+    if N % min(chunk, N):
+        chunk = _pick_chunk(N, chunk)
+    chunk = min(chunk, N)
+    return pl.pallas_call(
+        _ln_qkv_q8_kernel,
+        grid=(N // chunk,),
+        in_specs=[
+            pl.BlockSpec((B, C), lambda i: (0, 0)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C, chunk), lambda i: (0, i)),
+            pl.BlockSpec((1, chunk), lambda i: (0, i)),
+            pl.BlockSpec((1, chunk), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((B, chunk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((B, C), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x, ln_scale, ln_bias, wqkv_q,
+        wqkv_scale.reshape(1, N), bqkv.reshape(1, N),
+    )
 
 
 def _proj_mlp_kernel(
@@ -210,3 +271,101 @@ def fused_proj_mlp(
         ),
         interpret=interpret,
     )(x, y, wo, bo, ln_scale, ln_bias, w1, b1.reshape(1, H), w2, b2)
+
+
+def _proj_mlp_q8_kernel(
+    x_ref, y_ref, wo_ref, wos_ref, bo_ref, lns_ref, lnb_ref,
+    w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref, b2_ref, o_ref,
+    x2_s, h_s, acc_s,
+    *, gelu_version: str,
+):
+    """int8 weight-streaming proj+MLP: wo/w1/w2 chunks arrive int8 (half
+    the DMA bytes), dequantized in VMEM; per-output-channel scales applied
+    on the fp32 accumulators (w2's scale is per final output column —
+    constant across H-chunks, applied once at the end)."""
+    i = pl.program_id(0)
+    nc = pl.num_programs(0)
+    cd = x_ref.dtype
+    prec = _prec(cd)
+
+    @pl.when(i == 0)
+    def _():
+        proj = jnp.dot(
+            y_ref[:], wo_ref[:].astype(cd),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * wos_ref[:].astype(jnp.float32)
+        x2 = x_ref[:] + (proj + bo_ref[:].astype(jnp.float32)).astype(cd)
+        x2_s[:] = x2
+        h_s[:] = _ln(x2, lns_ref[:], lnb_ref[:], h_s.dtype)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    t = jnp.dot(
+        h_s[:], w1_ref[:].astype(cd),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * w1s_ref[:].astype(jnp.float32) + b1_ref[:].astype(jnp.float32)
+    t = _gelu(t, gelu_version).astype(cd)
+    acc_s[:] += jnp.dot(
+        t, w2_ref[:].astype(cd),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    @pl.when(i == nc - 1)
+    def _():
+        m = (
+            acc_s[:] * w2s_ref[:].astype(jnp.float32)
+            + b2_ref[:].astype(jnp.float32)
+        ).astype(cd)
+        o_ref[:] = x2_s[:] + m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gelu_version", "chunk", "interpret")
+)
+def fused_proj_mlp_q8(
+    x, y, wo_q, wo_scale, bo, ln_scale, ln_bias,
+    w1_q, w1_scale, b1, w2_q, w2_scale, b2,
+    gelu_version="v1", chunk=1536, interpret=False,
+):
+    """fused_proj_mlp for int8-quantized wo/w1/w2 (model.QuantizedWeight).
+    w1_q [C, H] / w2_q [H, C] streamed int8 in H-chunks; wo_q [C, C] int8
+    resident. Scales are the per-output-channel QuantizedWeight scales."""
+    B, C = x.shape
+    H = w1_q.shape[1]
+    if H % min(chunk, H):
+        chunk = _pick_chunk(H, chunk)
+    chunk = min(chunk, H)
+    kern = functools.partial(_proj_mlp_q8_kernel, gelu_version=gelu_version)
+    return pl.pallas_call(
+        kern,
+        grid=(H // chunk,),
+        in_specs=[
+            pl.BlockSpec((B, C), lambda i: (0, 0)),
+            pl.BlockSpec((B, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C,), lambda i: (0,)),
+            pl.BlockSpec((C, chunk), lambda i: (0, i)),
+            pl.BlockSpec((1, chunk), lambda i: (0, i)),
+            pl.BlockSpec((1, chunk), lambda i: (0, i)),
+            pl.BlockSpec((chunk, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, C), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((B, C), x.dtype),
+            pltpu.VMEM((B, C), x.dtype),
+            pltpu.VMEM((B, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x, y, wo_q, wo_scale.reshape(1, C), bo, ln_scale, ln_bias,
+        w1_q, w1_scale.reshape(1, H), b1.reshape(1, H),
+        w2_q, w2_scale.reshape(1, C), b2.reshape(1, C),
+    )

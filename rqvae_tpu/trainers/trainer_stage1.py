@@ -145,7 +145,11 @@ def make_train_step(
             loss_rec_lat = (
                 loss_recon + model.hparams.latent_loss_weight * loss_latent
             )
-            loss_pcpt = lpips.apply(lpips_vars, xs, out)
+            # perceptual_weight == 0 statically skips the whole VGG16 tower
+            # (forward AND its grads) instead of multiplying it by zero
+            loss_pcpt = (
+                lpips.apply(lpips_vars, xs, out) if p_weight else jnp.zeros(())
+            )
 
             if use_discriminator:
                 logits_fake, _ = disc_apply(
@@ -162,9 +166,9 @@ def make_train_step(
                     dp["conv_out"] = dict(dp["conv_out"])
                     dp["conv_out"]["kernel"] = last_kernel
                     out_t = decoder_tail(dp, h_sg, out_ch)
-                    nll = recon_loss(out_t, xs) + p_weight * lpips.apply(
-                        lpips_vars, xs, out_t
-                    )
+                    nll = recon_loss(out_t, xs)
+                    if p_weight:
+                        nll = nll + p_weight * lpips.apply(lpips_vars, xs, out_t)
                     lf, _ = disc_apply(
                         state.disc_params, state.disc_batch_stats, out_t, False
                     )

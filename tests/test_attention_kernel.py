@@ -1,7 +1,7 @@
 """Pallas decode-attention kernels (interpret mode on CPU).
 
 Status: SHIPPED (r2) — decode_attention is the default body decode
-attention on TPU for cache windows >= 32 (model._use_pallas_decode_attn).
+attention on TPU for cache windows >= 32 (model.resolve_attn_backend).
 The r1 "parked" verdict came from benchmarking through jnp.pad of the
 ragged batch, which copied the whole KV cache per call; the pad-free
 kernel streams at ~740 GB/s vs ~600 for the XLA formulations

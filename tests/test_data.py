@@ -94,6 +94,39 @@ class TestDatasets:
         o3 = [b["cond"].tolist() for b in loader]
         assert o1 != o3
 
+    def test_loader_process_parallel_matches_threaded(self, tmp_path):
+        """The num_procs > 0 path (decode in worker processes) must yield
+        the SAME batch stream as the threaded path, in order."""
+        make_imagefolder(tmp_path)
+        cfg = {"transforms": {"type": "imagenet256x256"}}
+        ds = ImageFolder(str(tmp_path), create_transforms(cfg, "eval"))
+        kw = dict(batch_size=4, shuffle=True, seed=1)
+        threaded = DataLoader(ds, num_workers=2, **kw)
+        procs = DataLoader(ds, num_procs=2, **kw)
+        threaded.set_epoch(0)
+        procs.set_epoch(0)
+        a, b = list(threaded), list(procs)
+        assert len(a) == len(b) == 3
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["images"], bb["images"])
+            np.testing.assert_array_equal(ba["cond"], bb["cond"])
+
+    def test_loader_process_parallel_propagates_errors(self):
+        class Boom:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise ValueError("decode failed")
+                return np.zeros((4, 4, 3), np.float32), 0
+
+        loader = DataLoader(Boom(), batch_size=4, shuffle=False, num_procs=2)
+        import pytest
+
+        with pytest.raises(RuntimeError, match="decode failed"):
+            list(loader)
+
     def test_create_dataset_factory_imagenet(self, tmp_path):
         make_imagefolder(tmp_path / "train")
         make_imagefolder(tmp_path / "val", per_class=2)

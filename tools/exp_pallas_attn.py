@@ -16,6 +16,7 @@ Env:   EXP_WINDOW (default "33,64"), EXP_ITERS (default 50), EXP_BTILE
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -88,10 +89,12 @@ def main():
             cur = jnp.int32(W - 1)
             gb = 2 * L * B * W * C * 2 / 1e9  # K+V bf16 read per step
 
-            def chain_xla(q0, kn, vn, kcs, vcs):
+            def chain_xla(q0, kn, vn, kcs, vcs, mode):
                 def step(q, _):
                     for kc, vc in zip(kcs, vcs):
-                        y = M._decode_attention_xla(q, kn, vn, kc, vc, cur, NH)
+                        y = M._decode_attention_xla(
+                            q, kn, vn, kc, vc, cur, NH, mode=mode
+                        )
                         q = q + y.astype(DT) * jnp.bfloat16(1e-3)
                     return q, ()
 
@@ -116,8 +119,9 @@ def main():
 
             row = [f"B={B:4d} W={W:3d} x{L} ({gb*1e3:6.0f} MB/step)"]
             for mode in ("vpu", "mxu"):
-                os.environ["RQVAE_TPU_DECODE_ATTN"] = mode
-                t = bench(jax.jit(chain_xla), q0, kn, vn, kcs, vcs) / L
+                t = bench(
+                    jax.jit(partial(chain_xla, mode=mode)), q0, kn, vn, kcs, vcs
+                ) / L
                 row.append(f"{mode} {t*1e6:7.1f}us ({gb/L/t:5.0f} GB/s)")
             try:
                 t = bench(jax.jit(chain_pallas), q0, kn, vn, kcs, vcs) / L

@@ -1,0 +1,353 @@
+"""On-chip training-convergence proof: the round-3 evidence that the
+trainers actually LEARN (VERDICT r2 item 1).
+
+The reference's trainers are implicitly validated by its released
+checkpoints (/root/reference/README.md:33-49, trained via
+rqvae/trainers/trainer_rqvae.py:220-317); this environment has zero egress,
+so we validate by *overfitting a fixed procedural image set* and closing
+the full loop:
+
+  stage1:  train the RQ-VAE (discriminator ACTIVE from step 0, adaptive GAN
+           weight live) for several hundred steps on 64 fixed 256px images;
+           record the loss/entropy/g_weight trajectory + a recon grid.
+  stage2:  freeze the trained RQ-VAE, encode the set, train a small
+           RQ-Transformer with ONE CLASS PER IMAGE until the teacher-forced
+           loss collapses; then CLOSE THE LOOP: sample codes per class with
+           top_k=1, compare them with the training codes (match rate),
+           decode with the trained RQ-VAE and measure per-class pixel MSE
+           against the original images; save a sample grid.
+
+Artifacts (committed): artifacts/convergence_stage1.json / _stage2.json
+(trajectories + summary), artifacts/convergence_recon.png (orig|recon),
+artifacts/convergence_samples.png (orig|sampled-decode).
+
+Usage: python tools/train_convergence.py [stage1|stage2|both]
+  STEPS1/STEPS2 env to override step counts (defaults 400/800).
+The CPU regression test (tests/test_convergence.py) runs the same loops on
+tiny geometry so a learning regression fails in CI, not on-chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
+N_IMAGES = 64
+RES = 256
+BS = 16
+STEPS1 = int(os.environ.get("STEPS1", "400"))
+STEPS2 = int(os.environ.get("STEPS2", "800"))
+
+
+def fetch(x):
+    return np.asarray(x)
+
+
+def make_dataset(n=N_IMAGES, res=RES, seed=0):
+    """Fixed procedural images in [-1, 1]: per-image random mixtures of
+    oriented sinusoids + a color-gradient background + a solid square —
+    enough structure that reconstruction/codebook learning is non-trivial,
+    fully deterministic, no egress needed."""
+    rs = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / res
+    imgs = np.zeros((n, res, res, 3), np.float32)
+    for i in range(n):
+        img = np.zeros((res, res, 3), np.float32)
+        # background gradient
+        c0, c1 = rs.rand(3) * 2 - 1, rs.rand(3) * 2 - 1
+        g = (xx * rs.rand() + yy * rs.rand())[..., None]
+        img += c0 + (c1 - c0) * g / max(g.max(), 1e-6)
+        # sinusoid mixture
+        for _ in range(3):
+            f = rs.uniform(2, 12)
+            th = rs.uniform(0, np.pi)
+            ph = rs.uniform(0, 2 * np.pi)
+            wave = np.sin(2 * np.pi * f * (np.cos(th) * xx + np.sin(th) * yy) + ph)
+            img += 0.25 * wave[..., None] * (rs.rand(3) * 2 - 1)
+        # solid square
+        s = int(res * rs.uniform(0.15, 0.4))
+        y0, x0 = rs.randint(0, res - s, 2)
+        img[y0 : y0 + s, x0 : x0 + s] = rs.rand(3) * 2 - 1
+        imgs[i] = np.clip(img, -1, 1)
+    return imgs
+
+
+def save_grid(path, rows, title_rows=None):
+    """rows: list of [n, H, W, 3] float arrays in [-1, 1] -> one PNG."""
+    from PIL import Image
+
+    rows = [np.clip((r + 1) * 127.5, 0, 255).astype(np.uint8) for r in rows]
+    n = rows[0].shape[0]
+    H, W = rows[0].shape[1:3]
+    canvas = np.zeros((len(rows) * H, n * W, 3), np.uint8)
+    for r, row in enumerate(rows):
+        for i in range(n):
+            canvas[r * H : (r + 1) * H, i * W : (i + 1) * W] = row[i]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(canvas).save(path)
+    print(f"# wrote {path}", flush=True)
+
+
+def code_entropy(codes):
+    """Per-depth normalized codebook-usage entropy (bits / log2(V))."""
+    codes = np.asarray(codes)
+    D = codes.shape[-1]
+    out = []
+    for d in range(D):
+        _, counts = np.unique(codes[..., d].ravel(), return_counts=True)
+        p = counts / counts.sum()
+        out.append(float(-(p * np.log2(p)).sum()))
+    return out
+
+
+def build_stage1(res=RES, small=False):
+    from rqvae_tpu.losses.discriminator import NLayerDiscriminator
+    from rqvae_tpu.losses.lpips import LPIPS, init_lpips
+    from rqvae_tpu.models.rqvae.model import RQVAE, RQVAEHParams
+    from rqvae_tpu.models.rqvae.modules import DDConfig
+    from rqvae_tpu.optim.optimizer import create_optimizer
+    from rqvae_tpu.optim.schedule import create_schedule
+    from rqvae_tpu.trainers import trainer_stage1 as t1
+
+    if small:  # CPU-test geometry: 32px, 8x8x2 codes
+        dd = dict(double_z=False, z_channels=16, resolution=res, in_channels=3,
+                  out_ch=3, ch=16, ch_mult=[1, 2, 2], num_res_blocks=1,
+                  attn_resolutions=[8], dropout=0.0)
+        hp = dict(embed_dim=16, n_embed=64, loss_type="mse",
+                  latent_shape=[res // 4, res // 4, 16],
+                  code_shape=[res // 4, res // 4, 2],
+                  shared_codebook=True, restart_unused_codes=True)
+    else:  # the real cIN256 stage-1 geometry (100M)
+        dd = dict(double_z=False, z_channels=256, resolution=res, in_channels=3,
+                  out_ch=3, ch=128, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
+                  attn_resolutions=[8], dropout=0.0)
+        hp = dict(embed_dim=256, n_embed=16384, loss_type="mse",
+                  latent_shape=[8, 8, 256], code_shape=[8, 8, 4],
+                  shared_codebook=True, restart_unused_codes=True)
+    model = RQVAE(
+        hparams=RQVAEHParams.create(hp), ddconfig=DDConfig.create(dd),
+        use_kernel=not small,
+    )
+    disc = NLayerDiscriminator(ndf=16 if small else 64, n_layers=2 if small else 3)
+    lpips = LPIPS()
+    # small mode (the CPU CI test) drops the VGG16 perceptual tower — it
+    # dominates the 1-CPU step time ~5x and its weights are random under
+    # zero egress anyway; the on-chip run keeps it active
+    lpips_vars = init_lpips() if not small else {}
+    sched = create_schedule(
+        base_lr=4e-4,
+        warmup_config={"epoch": 0, "mode": "fix", "multiplier": 1, "min_lr": 4e-4},
+        steps_per_epoch=1000, max_epoch=10,
+    )
+    opt_cfg = {"type": "adam", "betas": [0.5, 0.9], "weight_decay": 0.0}
+    tx = create_optimizer(opt_cfg, sched)
+    dtx = create_optimizer(opt_cfg, sched)
+    return model, disc, lpips, lpips_vars, tx, dtx, t1
+
+
+def run_stage1(steps=STEPS1, res=RES, bs=BS, n_images=N_IMAGES, small=False,
+               fetch_every=20, save_artifacts=True, seed=0):
+    model, disc, lpips, lpips_vars, tx, dtx, t1 = build_stage1(res, small)
+    data = make_dataset(n_images, res, seed)
+
+    t0 = time.time()
+    state = t1.init_state(
+        jax.random.PRNGKey(seed), model, disc, tx, dtx, image_shape=(res, res, 3)
+    )
+    print(f"# stage1 init: {time.time()-t0:.1f}s", flush=True)
+    gan_cfg = t1.GanLossConfig(
+        disc_start=0, perceptual_weight=0.0 if small else 1.0
+    )
+    step = jax.jit(
+        t1.make_train_step(
+            model, disc, lpips, lpips_vars, gan_cfg, tx, dtx,
+            use_discriminator=True,
+        ),
+        donate_argnums=(0,),
+    )
+
+    rng = jax.random.PRNGKey(seed + 1)
+    order_rs = np.random.RandomState(seed + 2)
+    traj = {k: [] for k in ("step", "loss_recon", "loss_pcpt", "loss_latent",
+                            "loss_gen", "loss_disc", "g_weight", "entropy")}
+    pending = []  # (step, metrics, codes) device refs; fetched in chunks
+    t0 = time.time()
+    for s in range(steps):
+        idx = order_rs.choice(n_images, bs, replace=False)
+        batch = {"images": jnp.asarray(data[idx])}
+        state, metrics, codes = step(state, batch, rng)
+        if s % fetch_every == 0 or s == steps - 1:
+            pending.append((s, metrics, codes))
+    for s, m, codes in pending:
+        m = {k: float(fetch(v)) for k, v in m.items()}
+        traj["step"].append(s)
+        for k in ("loss_recon", "loss_pcpt", "loss_latent", "loss_gen",
+                  "loss_disc", "g_weight"):
+            traj[k].append(m[k])
+        traj["entropy"].append(code_entropy(codes))
+    dt = time.time() - t0
+    print(f"# stage1 {steps} steps in {dt:.0f}s ({dt/steps*1000:.0f} ms/step)",
+          flush=True)
+
+    # final reconstruction of the first 8 images
+    xs = jnp.asarray(data[:8])
+    out, _, final_codes = model.apply(
+        {"params": state.params, "codebook": state.codebook}, xs
+    )
+    recon_mse = float(fetch(jnp.mean(jnp.square(out - xs))))
+    summary = {
+        "steps": steps,
+        "first_loss_recon": traj["loss_recon"][0],
+        "last_loss_recon": traj["loss_recon"][-1],
+        "eval_recon_mse": recon_mse,
+        "first_entropy": traj["entropy"][0],
+        "last_entropy": traj["entropy"][-1],
+        "max_g_weight": max(traj["g_weight"]),
+        "finite": all(np.isfinite(v).all() for v in
+                      (traj["loss_recon"], traj["loss_pcpt"], traj["g_weight"])),
+    }
+    print("# stage1 summary:", json.dumps(summary), flush=True)
+    if save_artifacts:
+        os.makedirs(ART, exist_ok=True)
+        with open(os.path.join(ART, "convergence_stage1.json"), "w") as f:
+            json.dump({"trajectory": traj, "summary": summary}, f, indent=1)
+        save_grid(os.path.join(ART, "convergence_recon.png"),
+                  [data[:8], fetch(out)])
+    return state, model, summary, data
+
+
+def build_stage2_config(n_images, code_shape, vocab, small=False):
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+    h, w, d = code_shape
+    arch = dict(
+        type="rq-transformer", vocab_size=vocab, block_size=[h, w, d],
+        embed_dim=128 if small else 512, input_embed_dim=16 if small else 256,
+        shared_tok_emb=True, shared_cls_emb=True,
+        input_emb_vqvae=True, head_emb_vqvae=True, cumsum_depth_ctx=True,
+        vocab_size_cond=n_images, block_size_cond=1,
+        body={"n_layer": 2 if small else 8, "block": {"n_head": 4 if small else 8}},
+        head={"n_layer": 1 if small else 2, "block": {"n_head": 4 if small else 8}},
+    )
+    return TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
+
+
+def run_stage2(stage1_state, model, data, steps=STEPS2, bs=BS, small=False,
+               fetch_every=20, save_artifacts=True, seed=10):
+    """Overfit a class-per-image RQ-Transformer on the TRAINED stage-1 codes
+    and close the loop: sample(top_k=1) -> decode -> compare."""
+    import optax
+    from rqvae_tpu.models.rqvae.model import RQVAE
+    from rqvae_tpu.models.rqtransformer import sampling as S
+    from rqvae_tpu.trainers import trainer_stage2 as t2
+
+    n_images = data.shape[0]
+    vq_vars = {"params": stage1_state.params, "codebook": stage1_state.codebook}
+    vq_state = stage1_state.codebook["state"]
+    vq_config = model.quantizer_config
+
+    # frozen encode of the whole training set
+    codes = fetch(jax.jit(
+        lambda xs: model.apply(vq_vars, xs, method=RQVAE.get_codes)
+    )(jnp.asarray(data)))
+    print(f"# stage2: training codes {codes.shape}", flush=True)
+
+    tconf = build_stage2_config(n_images, codes.shape[1:], vq_config.n_embed[0], small)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(1e-3 if small else 3e-4, b1=0.9, b2=0.95, weight_decay=0.0),
+    )
+    state = t2.init_state(jax.random.PRNGKey(seed), tconf, tx, use_ema=False)
+    step = jax.jit(
+        t2.make_train_step(
+            tconf,
+            t2.Stage2LossConfig(use_soft_target=False),
+            tx, vq_state=vq_state, vq_config=vq_config,
+        ),
+        donate_argnums=(0,),
+    )
+
+    rng = jax.random.PRNGKey(seed + 1)
+    order_rs = np.random.RandomState(seed + 2)
+    traj = {"step": [], "loss_total": []}
+    pending = []
+    t0 = time.time()
+    codes_j = jnp.asarray(codes)
+    for s in range(steps):
+        idx = order_rs.choice(n_images, bs, replace=False)
+        batch = {"codes": codes_j[idx], "cond": jnp.asarray(idx, jnp.int32)}
+        state, metrics = step(state, batch, rng)
+        if s % fetch_every == 0 or s == steps - 1:
+            pending.append((s, metrics))
+    for s, m in pending:
+        traj["step"].append(s)
+        traj["loss_total"].append(float(fetch(m["loss_total"])))
+    dt = time.time() - t0
+    print(f"# stage2 {steps} steps in {dt:.0f}s ({dt/steps*1000:.0f} ms/step)",
+          flush=True)
+
+    # ---- close the loop: sample argmax codes per class, decode, compare
+    n_show = min(8, n_images)
+    cond = jnp.arange(n_show, dtype=jnp.int32)
+    sampled = fetch(S.sample(
+        state.params, tconf, jax.random.PRNGKey(seed + 3), n_show, cond=cond,
+        vq_state=vq_state, vq_config=vq_config, temperature=1.0, top_k=1,
+    ))
+    match = float((sampled == codes[:n_show]).mean())
+    pix = fetch(jax.jit(
+        lambda c: model.apply(vq_vars, c, method=RQVAE.decode_code)
+    )(jnp.asarray(sampled)))
+    pix_mse = float(np.mean(np.square(pix - data[:n_show])))
+    # baseline: MSE of the rqvae's own reconstruction (the floor)
+    recon = fetch(jax.jit(
+        lambda c: model.apply(vq_vars, c, method=RQVAE.decode_code)
+    )(jnp.asarray(codes[:n_show])))
+    recon_mse = float(np.mean(np.square(recon - data[:n_show])))
+
+    summary = {
+        "steps": steps,
+        "first_loss": traj["loss_total"][0],
+        "last_loss": traj["loss_total"][-1],
+        "code_match_rate": match,
+        "sampled_pixel_mse": pix_mse,
+        "rqvae_recon_mse_floor": recon_mse,
+    }
+    print("# stage2 summary:", json.dumps(summary), flush=True)
+    if save_artifacts:
+        os.makedirs(ART, exist_ok=True)
+        with open(os.path.join(ART, "convergence_stage2.json"), "w") as f:
+            json.dump({"trajectory": traj, "summary": summary}, f, indent=1)
+        save_grid(os.path.join(ART, "convergence_samples.png"),
+                  [data[:n_show], pix])
+    return summary
+
+
+def main():
+    what = sys.argv[1] if len(sys.argv) > 1 else "both"
+    state = model = data = None
+    ok = True
+    if what in ("stage1", "both"):
+        state, model, s1, data = run_stage1()
+        ok &= s1["last_loss_recon"] < 0.5 * s1["first_loss_recon"]
+        ok &= s1["finite"]
+    if what in ("stage2", "both"):
+        if state is None:
+            print("stage2 needs the stage1-trained model; run 'both'",
+                  file=sys.stderr)
+            sys.exit(2)
+        s2 = run_stage2(state, model, data)
+        ok &= s2["last_loss"] < 0.3 * s2["first_loss"]
+    print(json.dumps({"converged": bool(ok)}))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,13 @@ def stage1():
     fetch(metrics["loss_total"])
     dt = (time.time() - t0) / N
     print(f"# stage1 step (bs{BS}): {dt*1000:.1f} ms -> {BS/dt:.1f} img/s/chip", flush=True)
+    if "--trace" in sys.argv:
+        os.makedirs("/tmp/jax_trace_s1", exist_ok=True)
+        with jax.profiler.trace("/tmp/jax_trace_s1"):
+            for _ in range(2):
+                state, metrics, _ = step(state, batch, rng)
+            fetch(metrics["loss_total"])
+        print("# stage1 trace -> /tmp/jax_trace_s1 (tools/trace_top_ops.py)", flush=True)
 
 
 def stage2():
@@ -146,6 +153,13 @@ def stage2():
     fetch(metrics["loss_total"])
     dt = (time.time() - t0) / N
     print(f"# stage2 step (bs{BS}): {dt*1000:.1f} ms -> {BS/dt:.1f} img/s/chip", flush=True)
+    if "--trace" in sys.argv:
+        os.makedirs("/tmp/jax_trace_s2", exist_ok=True)
+        with jax.profiler.trace("/tmp/jax_trace_s2"):
+            for _ in range(2):
+                state, metrics = step(state, batch, rng)
+            fetch(metrics["loss_total"])
+        print("# stage2 trace -> /tmp/jax_trace_s2 (tools/trace_top_ops.py)", flush=True)
 
 
 if __name__ == "__main__":
