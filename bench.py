@@ -202,9 +202,10 @@ def main():
     body_w = tconf.body.n_layer * 12 * C * C * bpe * (HW - 1)
     head_w = tconf.head.n_layer * 12 * C * C * bpe * D * HW
     cls_w = C * 16384 * bpe * D * HW
-    # mirror the sampler's actual phase schedule (sampling.py default 2)
+    # mirror the sampler's actual phase schedule (one policy resolver for
+    # the whole decode path: model.decode_policy_from_env)
     n_steps = HW - 1
-    n_phases = int(os.environ.get("RQVAE_TPU_SAMPLE_PHASES", "2") or 2)
+    n_phases = M.decode_policy_from_env().phases
     n_phases = min(max(1, n_phases), max(1, n_steps // 8))
     bounds = [round(n_steps * i / n_phases) for i in range(n_phases + 1)]
     cache_rows = sum(

@@ -32,6 +32,17 @@ from rqvae_tpu.utils.config import env_flag
 SMOKE_TEST = env_flag("SMOKE_TEST")
 
 
+def _loader_procs() -> int:
+    """Process-parallel decode workers (RQVAE_TPU_LOADER_PROCS, default 0 =
+    threaded decode). The reference uses 16 torch DataLoader worker
+    processes (trainer.py:45-51); set this on hosts where the threaded
+    path's GIL-bound decode rate falls behind the step rate."""
+    try:
+        return int(os.environ.get("RQVAE_TPU_LOADER_PROCS", "0") or 0)
+    except ValueError:
+        return 0
+
+
 def _write_config_beside(weights_dir: str, config):
     """config.yaml beside the weights so sampling/eval CLIs can load the
     checkpoint standalone (reference keeps config.yaml next to the .pt,
@@ -76,13 +87,14 @@ class Stage1Trainer:
 
         bs = config.experiment.batch_size
         workers = 0 if SMOKE_TEST else 16
+        procs = 0 if SMOKE_TEST else _loader_procs()
         self.loader_trn = DataLoader(
             dataset_trn, bs, shuffle=True, seed=seed, num_workers=max(workers, 1),
-            sharding=sharding,
+            sharding=sharding, num_procs=procs,
         )
         self.loader_val = DataLoader(
             dataset_val, bs, shuffle=False, drop_last=False,
-            num_workers=max(workers, 1), sharding=sharding,
+            num_workers=max(workers, 1), sharding=sharding, num_procs=procs,
         )
         self.dataset_trn, self.dataset_val = dataset_trn, dataset_val
 
@@ -304,13 +316,14 @@ class Stage2Trainer:
 
         bs = config.experiment.batch_size * grad_accum_steps
         workers = 0 if SMOKE_TEST else 16
+        procs = 0 if SMOKE_TEST else _loader_procs()
         self.loader_trn = DataLoader(
             dataset_trn, bs, shuffle=True, seed=seed,
-            num_workers=max(workers, 1), sharding=sharding,
+            num_workers=max(workers, 1), sharding=sharding, num_procs=procs,
         )
         self.loader_val = DataLoader(
             dataset_val, bs, shuffle=False, drop_last=False,
-            num_workers=max(workers, 1), sharding=sharding,
+            num_workers=max(workers, 1), sharding=sharding, num_procs=procs,
         )
         self.state = t2.init_state(
             jax.random.PRNGKey(seed), tconf, tx,

@@ -4,7 +4,11 @@ Settles VERDICT r1 weak #8 (is training input-bound?): measures the
 threaded decode+augment loader against the measured TPU step rates
 (stage-1 51.4 img/s/chip, stage-2 110.6 img/s/chip at 256px).
 
-Run: python tools/bench_loader.py [n_images] [workers]
+Run: python tools/bench_loader.py [n_images] [workers] [procs]
+  procs > 0 switches to the process-parallel decode path (num_procs) —
+  the threaded path is GIL-bound near one core's decode rate, so on
+  multi-core hosts processes are the way past it. (This image has ONE
+  CPU, so both paths cap at the single-core rate here.)
 """
 
 import os
@@ -29,6 +33,7 @@ from rqvae_tpu.data.loader import DataLoader
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     workers = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    procs = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     rng = np.random.RandomState(0)
     with tempfile.TemporaryDirectory() as root:
         d = os.path.join(root, "class_0")
@@ -43,7 +48,10 @@ def main():
         # repeat the files to reach n items without more disk
         ds.items = (ds.items * (n // len(ds.items) + 1))[:n]
 
-        loader = DataLoader(ds, batch_size=64, shuffle=True, num_workers=workers)
+        loader = DataLoader(
+            ds, batch_size=64, shuffle=True, num_workers=workers,
+            num_procs=procs,
+        )
         # warmup one epoch chunk
         it = iter(loader)
         next(it)
@@ -52,9 +60,10 @@ def main():
         for batch in it:
             count += batch["images"].shape[0]
         dt = time.time() - t0
+        mode = f"{procs} procs" if procs else f"{workers} threads"
         print(
             f"loader: {count - 64} imgs in {dt:.2f}s = "
-            f"{(count - 64) / dt:.1f} img/s ({workers} workers, 256px train augment)"
+            f"{(count - 64) / dt:.1f} img/s ({mode}, 256px train augment)"
         )
 
 
