@@ -231,7 +231,7 @@ def decode_policy_from_env() -> DecodePolicy:
         attn = "auto"
     attn_v = "mxu" if _get("RQVAE_TPU_DECODE_ATTN_V") == "mxu" else "vpu"
     dense = _get("RQVAE_TPU_DECODE_DENSE", "auto") or "auto"
-    if dense not in ("auto", "xla", "pallas"):
+    if dense not in ("auto", "xla", "pallas", "mega"):
         warnings.warn(f"RQVAE_TPU_DECODE_DENSE={dense!r} not understood; using auto")
         dense = "auto"
     unroll_env = _get("RQVAE_TPU_SAMPLE_UNROLL")

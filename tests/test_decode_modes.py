@@ -175,6 +175,9 @@ def test_decode_policy_from_env(monkeypatch):
         attn="mxu", attn_v="mxu", dense="pallas", unroll=False,
         phases=3, exact_sample=True,
     )
+    # the experimental whole-layer megakernel is a valid forced dense mode
+    monkeypatch.setenv("RQVAE_TPU_DECODE_DENSE", "mega")
+    assert M.decode_policy_from_env().dense == "mega"
     # bad values warn and fall back
     monkeypatch.setenv("RQVAE_TPU_DECODE_ATTN", "warp")
     monkeypatch.setenv("RQVAE_TPU_SAMPLE_PHASES", "two")

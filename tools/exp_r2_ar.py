@@ -32,6 +32,7 @@ from rqvae_tpu.utils.config import Config, augment_arch_defaults
 
 BS = int(os.environ.get("EXP_BS", "100"))
 ITERS = int(os.environ.get("EXP_ITERS", "4"))
+INT8 = bool(os.environ.get("EXP_INT8"))
 DTYPE = jnp.bfloat16
 
 
@@ -64,6 +65,9 @@ def build():
         return jax.tree.map(lambda x: x.astype(DTYPE), p)
 
     params = _init(jax.random.PRNGKey(0))
+    if INT8:
+        params = jax.jit(M.quantize_transformer_params)(params)
+        print("# int8 weight-only quantization ON", flush=True)
     fetch(jax.tree.leaves(params)[0].sum())
 
     vq_config = rq.QuantizerConfig(

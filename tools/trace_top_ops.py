@@ -57,17 +57,19 @@ def main():
         print(f"span {wall:.1f} ms")
         for ln, ps in sorted(lines_totals.items(), key=lambda kv: -kv[1])[:6]:
             print(f"  line {ln!r}: busy {ps/1e9:.1f} ms")
-        # top ops on the busiest line
-        busiest = max(lines_totals, key=lines_totals.get)
-        rows = [
-            (ps, n, name)
-            for (ln, name), (ps, n) in per_op.items()
-            if ln == busiest and (name_filter in name)
-        ]
-        rows.sort(reverse=True)
-        print(f"\n  top ops on line {busiest!r}:")
-        for ps, n, name in rows[:top_n]:
-            print(f"   {ps/1e9:9.2f} ms  x{n:<6d} {name[:110]}")
+        # top ops on each of the busiest lines (the sync 'XLA Ops' line is
+        # where device time actually serializes; 'Async XLA Ops' shows the
+        # overlapped DMA prefetch stream)
+        for ln, _ in sorted(lines_totals.items(), key=lambda kv: -kv[1])[:3]:
+            rows = [
+                (ps, n, name)
+                for (ln2, name), (ps, n) in per_op.items()
+                if ln2 == ln and (name_filter in name)
+            ]
+            rows.sort(reverse=True)
+            print(f"\n  top ops on line {ln!r}:")
+            for ps, n, name in rows[:top_n]:
+                print(f"   {ps/1e9:9.2f} ms  x{n:<6d} {name[:110]}")
 
 
 if __name__ == "__main__":
