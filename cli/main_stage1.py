@@ -86,6 +86,7 @@ def main():
         disc_weight=gan_loss_cfg.disc_weight,
         perceptual_weight=gan_loss_cfg.perceptual_weight,
         disc_start=gan_loss_cfg.disc_start,
+        lpips_bf16=gan_loss_cfg.get("lpips_bf16", True),
     )
     disc_sched = create_schedule(
         base_lr=config.gan.disc.optimizer.init_lr,

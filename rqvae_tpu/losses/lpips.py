@@ -16,7 +16,7 @@ term's semantics — flagged by `pretrained=False` in the return).
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,13 @@ SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 class VGG16Features(nn.Module):
-    """VGG16 conv slices with relu taps at 1_2, 2_2, 3_3, 4_3, 5_3."""
+    """VGG16 conv slices with relu taps at 1_2, 2_2, 3_3, 4_3, 5_3.
+
+    `dtype` is the flax compute dtype: params stay fp32, conv inputs/kernels
+    are cast to `dtype` (bf16 doubles the MXU rate and halves feature-map
+    HBM traffic — the AMP equivalent of the reference's torch autocast)."""
+
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -47,25 +53,33 @@ class VGG16Features(nn.Module):
             if si > 0:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             for ci, (_, out_ch) in enumerate(convs):
-                x = nn.Conv(out_ch, (3, 3), padding="SAME", name=f"conv{si}_{ci}")(x)
+                x = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype,
+                            name=f"conv{si}_{ci}")(x)
                 x = nn.relu(x)
             taps.append(x)
         return taps
 
 
 class LPIPS(nn.Module):
-    """input/target NHWC in [-1, 1] -> scalar (reference lpips.py:41-59)."""
+    """input/target NHWC in [-1, 1] -> scalar (reference lpips.py:41-59).
+
+    `dtype=jnp.bfloat16` runs the VGG tower + feature diffs in bf16 compute
+    (params fp32; channel-norm reduces accumulate fp32; returned loss fp32).
+    Training uses bf16 (GanLossConfig.lpips_bf16); eval metrics keep fp32."""
+
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, input, target, reduction: str = "mean"):
-        net = VGG16Features(name="net")
+        net = VGG16Features(dtype=self.dtype, name="net")
         lins = [
             self.param(f"lin{k}", nn.initializers.normal(0.1), (CHNS[k], 1))
             for k in range(5)
         ]
 
         def scale_in(x):
-            return (x - SHIFT) / SCALE
+            x = (x - SHIFT) / SCALE
+            return x.astype(self.dtype) if self.dtype is not None else x
 
         f0 = net(scale_in(input))
         f1 = net(scale_in(target))
@@ -76,9 +90,12 @@ class LPIPS(nn.Module):
             b = _unit_normalize(f1[k])
             diff = jnp.square(a - b)
             # 1x1 conv == channel matmul; spatial average (lpips.py:50,126-127)
+            # bf16 diff @ fp32 lin promotes to fp32, so the spatial mean
+            # accumulates fp32 either way
             res = jnp.mean(diff @ lins[k], axis=(1, 2), keepdims=True)
             val = val + res
 
+        val = val.astype(jnp.float32)
         if reduction == "none":
             return val
         if reduction == "mean":
@@ -87,8 +104,11 @@ class LPIPS(nn.Module):
 
 
 def _unit_normalize(x, eps=1e-10):
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
-    return x / (norm + eps)
+    # fp32 accumulation of the channel sum-of-squares even in bf16 compute
+    # (fused by XLA — the feature map itself stays in `x.dtype` in HBM)
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True,
+                            dtype=jnp.float32))
+    return x / (norm + eps).astype(x.dtype)
 
 
 def init_lpips(rng=None) -> dict:

@@ -87,6 +87,21 @@ class TestStage1:
         )
         assert diff > 0
 
+    def test_lpips_bf16_matches_fp32(self):
+        """Train-time LPIPS runs the VGG tower in bf16 compute
+        (GanLossConfig.lpips_bf16, default on); same params, fp32 loss out.
+        Pin value agreement vs fp32 and finite grads through the bf16 tower."""
+        lpips_vars = init_lpips()
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.uniform(k1, (2, 64, 64, 3)) * 2 - 1
+        y = jnp.clip(x + 0.1 * jax.random.normal(k2, x.shape), -1, 1)
+        f32 = float(LPIPS().apply(lpips_vars, x, y))
+        bf16 = float(LPIPS(dtype=jnp.bfloat16).apply(lpips_vars, x, y))
+        assert np.asarray(bf16).dtype == np.float32 or isinstance(bf16, float)
+        assert abs(bf16 - f32) < 0.05 * abs(f32) + 1e-4, (f32, bf16)
+        g = jax.grad(lambda yy: LPIPS(dtype=jnp.bfloat16).apply(lpips_vars, x, yy))(y)
+        assert np.isfinite(np.asarray(g)).all()
+
     def test_eval_step(self):
         model, disc, lpips, lpips_vars, tx, disc_tx, gan_cfg = make_stage1()
         state = t1.init_state(

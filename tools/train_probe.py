@@ -57,25 +57,34 @@ def stage1():
     state = t1.init_state(jax.random.PRNGKey(0), model, disc, tx, dtx,
                           image_shape=(256, 256, 3))
     print(f"# stage1 init: {time.time()-t0:.1f}s", flush=True)
-    step = jax.jit(
-        t1.make_train_step(model, disc, lpips, lpips_vars,
-                           t1.GanLossConfig(disc_start=0), tx, dtx,
-                           use_discriminator=True),
-        donate_argnums=(0,),
-    )
+
+    # PROBE_ABLATE=1: also time the step with LPIPS off / discriminator off
+    # to attribute the step budget to components (compile cost: one extra
+    # jit per variant)
+    variants = [("full", 1.0, True)]
+    if os.environ.get("PROBE_ABLATE"):
+        variants += [("no-lpips", 0.0, True), ("no-disc+no-lpips", 0.0, False),
+                     ("lpips-only(no-disc)", 1.0, False)]
     batch = {"images": jax.random.uniform(jax.random.PRNGKey(1), (BS, 256, 256, 3)) * 2 - 1}
     rng = jax.random.PRNGKey(2)
-    t0 = time.time()
-    state, metrics, _ = step(state, batch, rng)
-    fetch(metrics["loss_total"])
-    print(f"# stage1 compile+first step: {time.time()-t0:.1f}s", flush=True)
-    N = 8
-    t0 = time.time()
-    for _ in range(N):
+    for name, pw, use_disc in variants:
+        step = jax.jit(
+            t1.make_train_step(model, disc, lpips, lpips_vars,
+                               t1.GanLossConfig(disc_start=0, perceptual_weight=pw),
+                               tx, dtx, use_discriminator=use_disc),
+            donate_argnums=(0,),
+        )
+        t0 = time.time()
         state, metrics, _ = step(state, batch, rng)
-    fetch(metrics["loss_total"])
-    dt = (time.time() - t0) / N
-    print(f"# stage1 step (bs{BS}): {dt*1000:.1f} ms -> {BS/dt:.1f} img/s/chip", flush=True)
+        fetch(metrics["loss_total"])
+        print(f"# stage1 [{name}] compile+first step: {time.time()-t0:.1f}s", flush=True)
+        N = 8
+        t0 = time.time()
+        for _ in range(N):
+            state, metrics, _ = step(state, batch, rng)
+        fetch(metrics["loss_total"])
+        dt = (time.time() - t0) / N
+        print(f"# stage1 [{name}] step (bs{BS}): {dt*1000:.1f} ms -> {BS/dt:.1f} img/s/chip", flush=True)
     if "--trace" in sys.argv:
         os.makedirs("/tmp/jax_trace_s1", exist_ok=True)
         with jax.profiler.trace("/tmp/jax_trace_s1"):
