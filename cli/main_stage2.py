@@ -17,6 +17,7 @@ import argparse
 from common import set_seed
 
 import jax
+import jax.numpy as jnp
 
 from rqvae_tpu.data import create_dataset, create_datasets
 from rqvae_tpu.models import create_rqtransformer, load_rqvae
@@ -52,8 +53,12 @@ def main():
     vqvae, vq_vars = load_rqvae(config.vqvae, config.vqvae.ckpt)
     vq_state = vq_vars["codebook"]["state"]
 
-    def encode_fn(images):
-        return vqvae.apply(vq_vars, images, method=RQVAE.encode)
+    # bf16 frozen encode by default (experiment.encode_bf16: false for fp32)
+    encode_fn = t2.make_frozen_encode_fn(
+        vqvae, vq_vars,
+        dtype=jnp.bfloat16
+        if config.experiment.get("encode_bf16", True) else None,
+    )
 
     tconf = create_rqtransformer(config.arch)
 
@@ -69,6 +74,7 @@ def main():
         stochastic_codes=config.loss.stochastic_codes,
         txt_weight=config.loss.get("txt_weight", 0.1),
         img_weight=config.loss.get("img_weight", 0.9),
+        amp_bf16=config.experiment.get("amp_bf16", True),
     )
 
     grad_accum = config.optimizer.get("grad_accm_steps", 1)

@@ -126,7 +126,12 @@ def test_zero_optimizer_state_sharding(setup):
     state = t2.init_state(jax.random.PRNGKey(0), config, tx)
 
     step = jax.jit(
-        t2.make_train_step(config, t2.Stage2LossConfig(use_soft_target=False),
+        # amp_bf16 off: this test checks the ZeRO-1 PLACEMENT math at fp32
+        # tolerances; bf16 matmul rounding is layout-sensitive across the
+        # sharded/replicated pair (AMP itself is covered by the trainer tests)
+        t2.make_train_step(config,
+                           t2.Stage2LossConfig(use_soft_target=False,
+                                               amp_bf16=False),
                            tx, vq_state=vq_state, vq_config=vq_config)
     )
     batch = {

@@ -128,6 +128,25 @@ ARCH2 = dict(
 
 
 class TestStage2:
+    def test_frozen_encode_bf16(self):
+        """make_frozen_encode_fn(dtype=bf16) tracks the fp32 encode closely
+        (frozen path: GroupNorm stats fp32, distances promote to fp32) and
+        the train step runs end-to-end on it with finite losses."""
+        model = RQVAE(
+            hparams=RQVAEHParams.create(HP), ddconfig=DDConfig.create(DD), use_kernel=False
+        )
+        x0 = jnp.zeros((2, 32, 32, 3))
+        vq_vars = model.init(
+            {"params": jax.random.PRNGKey(0), "quantizer": jax.random.PRNGKey(1)}, x0
+        )
+        imgs = jax.random.uniform(jax.random.PRNGKey(3), (2, 32, 32, 3)) * 2 - 1
+        z32 = t2.make_frozen_encode_fn(model, vq_vars, dtype=None)(imgs)
+        zb16 = t2.make_frozen_encode_fn(model, vq_vars)(imgs)
+        assert zb16.dtype == jnp.bfloat16 and z32.dtype == jnp.float32
+        scale = float(np.abs(np.asarray(z32)).mean())
+        err = float(np.abs(np.asarray(zb16, np.float32) - np.asarray(z32)).mean())
+        assert err < 0.05 * scale + 1e-3, (err, scale)
+
     def test_train_step_with_frozen_stage1(self):
         model = RQVAE(
             hparams=RQVAEHParams.create(HP), ddconfig=DDConfig.create(DD), use_kernel=False

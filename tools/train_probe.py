@@ -119,8 +119,11 @@ def stage2():
         {"params": jax.random.PRNGKey(0), "quantizer": jax.random.PRNGKey(1)}, x0
     )
 
-    def encode_fn(images):
-        return vqvae.apply(vq_vars, images, method=RQVAE.encode)
+    # bf16 frozen encode (PROBE_ENCODE_FP32=1 for the old fp32 path)
+    encode_fn = t2.make_frozen_encode_fn(
+        vqvae, vq_vars,
+        dtype=None if os.environ.get("PROBE_ENCODE_FP32") else jnp.bfloat16,
+    )
 
     arch = dict(
         type="rq-transformer", vocab_size=16384, block_size=[8, 8, 4],
