@@ -87,6 +87,7 @@ def main():
         perceptual_weight=gan_loss_cfg.perceptual_weight,
         disc_start=gan_loss_cfg.disc_start,
         lpips_bf16=gan_loss_cfg.get("lpips_bf16", True),
+        amp_bf16=config.experiment.get("amp_bf16", False),
     )
     disc_sched = create_schedule(
         base_lr=config.gan.disc.optimizer.init_lr,

@@ -56,6 +56,15 @@ class GanLossConfig:
     # at 256px/bs16; bf16 conv compute is the AMP-equivalent the reference
     # gets from torch autocast. Eval metrics keep fp32 LPIPS.
     lpips_bf16: bool = True
+    # bf16 activations/conv compute for the RQ-VAE fwd/bwd itself (params,
+    # optimizer, codebook EMA state and all losses stay fp32; GroupNorm
+    # stats are fp32 inside the modules; quantizer distances promote to
+    # fp32 against the fp32 codebook). Default OFF: the reference trains
+    # the VQGAN fp32 and adversarial training is the numerically
+    # touchiest loop in the framework — this is an opt-in throughput
+    # mode, validated by the convergence harness (AMP_S1=1
+    # tools/train_convergence.py).
+    amp_bf16: bool = False
 
 
 def init_state(
@@ -137,15 +146,25 @@ def make_train_step(
             only traverse the decoder tail + losses (AD-pruned exactly like
             the reference's autograd.grad(nll/g, last_layer),
             trainer_rqvae.py:31-37)."""
+            if gan_cfg.amp_bf16:
+                def _cast(t):
+                    return (
+                        t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t
+                    )
+
+                params_c = jax.tree.map(_cast, params)
+                xs_in = xs.astype(jnp.bfloat16)
+            else:
+                params_c, xs_in = params, xs
             (h_pre, quant_loss, codes), mutated = model.apply(
-                {"params": params, "codebook": state.codebook},
-                xs,
+                {"params": params_c, "codebook": state.codebook},
+                xs_in,
                 training=True,
                 method=type(model).forward_pre,
                 rngs={"quantizer": rng, "dropout": jax.random.fold_in(rng, 1)},
                 mutable=["codebook"],
             )
-            dec_params = params["decoder"]
+            dec_params = params_c["decoder"]
             out = decoder_tail(dec_params, h_pre, out_ch)
 
             loss_recon = recon_loss(out, xs)
@@ -185,8 +204,8 @@ def make_train_step(
                 jac = jax.jacrev(split_losses)(
                     jax.lax.stop_gradient(dec_params["conv_out"]["kernel"])
                 )
-                nll_norm = jnp.linalg.norm(jac[0].reshape(-1))
-                g_norm = jnp.linalg.norm(jac[1].reshape(-1))
+                nll_norm = jnp.linalg.norm(jac[0].reshape(-1).astype(jnp.float32))
+                g_norm = jnp.linalg.norm(jac[1].reshape(-1).astype(jnp.float32))
                 g_weight = jax.lax.stop_gradient(
                     jnp.clip(nll_norm / (g_norm + 1e-4), 0.0, 1e4)
                 )

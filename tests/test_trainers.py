@@ -87,6 +87,40 @@ class TestStage1:
         )
         assert diff > 0
 
+    def test_amp_bf16_train_step(self):
+        """Opt-in stage-1 AMP (GanLossConfig.amp_bf16): bf16 activations,
+        fp32 params/opt/codebook. Two steps run finite, params move, and
+        the codebook EMA state stays fp32 (donation-safe across steps)."""
+        model, disc, lpips, lpips_vars, tx, disc_tx, _ = make_stage1()
+        gan_cfg = t1.GanLossConfig(disc_start=0, amp_bf16=True)
+        state = t1.init_state(
+            jax.random.PRNGKey(0), model, disc, tx, disc_tx, image_shape=(32, 32, 3)
+        )
+        step = jax.jit(
+            t1.make_train_step(
+                model, disc, lpips, lpips_vars, gan_cfg, tx, disc_tx,
+                use_discriminator=True,
+            )
+        )
+        batch = {"images": jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3)) * 2 - 1}
+        s1, m1, _ = step(state, batch, jax.random.PRNGKey(2))
+        s2, m2, _ = step(s1, batch, jax.random.PRNGKey(2))
+        for k, v in m2.items():
+            assert np.isfinite(np.asarray(v)).all(), f"{k} not finite"
+        assert s2.codebook["state"].embed.dtype == jnp.float32
+        assert jax.tree.leaves(s2.params)[0].dtype == jnp.float32
+        # bf16-compute losses track the fp32 step loosely on step 1
+        fp32_step = jax.jit(
+            t1.make_train_step(
+                model, disc, lpips, lpips_vars,
+                t1.GanLossConfig(disc_start=0), tx, disc_tx,
+                use_discriminator=True,
+            )
+        )
+        _, mf, _ = fp32_step(state, batch, jax.random.PRNGKey(2))
+        a, b = float(m1["loss_recon"]), float(mf["loss_recon"])
+        assert abs(a - b) < 0.05 * abs(b) + 1e-3, (a, b)
+
     def test_lpips_bf16_matches_fp32(self):
         """Train-time LPIPS runs the VGG tower in bf16 compute
         (GanLossConfig.lpips_bf16, default on); same params, fp32 loss out.

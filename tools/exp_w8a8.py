@@ -170,49 +170,56 @@ def main():
     w1bf = [w.q.astype(dt) * w.scale.astype(dt) for w in w1s]
     w2bf = [w.q.astype(dt) * w.scale.astype(dt) for w in w2s]
 
+    ITERS = int(os.environ.get("EXP_ITERS", "30"))
+
     def bench(fn, *args):
+        # scan the 16-layer chain ITERS times inside ONE jit: per-dispatch
+        # tunnel latency (~10 ms) otherwise swamps the ~1.3 ms chain
         np.asarray(fn(*args))  # compile
         t0 = time.time()
-        for _ in range(3):
-            out = fn(*args)
+        out = fn(*args)
         np.asarray(out)
-        dt_s = (time.time() - t0) / 3
-        gb = L * (C * C + C * H + H * C)
-        return dt_s, gb
+        return (time.time() - t0) / ITERS
 
     @jax.jit
     def chain_bf16(x, y, ws):
-        for wo, w1, w2 in zip(*ws):
-            x = DL.fused_proj_mlp(x, y, wo, bo, lns, lnb, w1, b1, w2, b2)
-        return x
+        def one(x, _):
+            for wo, w1, w2 in zip(*ws):
+                x = DL.fused_proj_mlp(x, y, wo, bo, lns, lnb, w1, b1, w2, b2)
+            return x, ()
+        return jax.lax.scan(one, x, None, length=ITERS)[0].sum()
 
     @jax.jit
     def chain_q8(x, y, wos, w1s, w2s):
-        for wo, w1, w2 in zip(wos, w1s, w2s):
-            x = DL.fused_proj_mlp_q8(
-                x, y, wo.q, wo.scale, bo, lns, lnb,
-                w1.q, w1.scale, b1, w2.q, w2.scale, b2,
-            )
-        return x
+        def one(x, _):
+            for wo, w1, w2 in zip(wos, w1s, w2s):
+                x = DL.fused_proj_mlp_q8(
+                    x, y, wo.q, wo.scale, bo, lns, lnb,
+                    w1.q, w1.scale, b1, w2.q, w2.scale, b2,
+                )
+            return x, ()
+        return jax.lax.scan(one, x, None, length=ITERS)[0].sum()
 
     @jax.jit
     def chain_q8a8(x, y, wos, w1s, w2s):
-        for wo, w1, w2 in zip(wos, w1s, w2s):
-            x = fused_proj_mlp_q8a8(
-                x, y, wo.q, wo.scale, bo, lns, lnb,
-                w1.q, w1.scale, b1, w2.q, w2.scale, b2,
-            )
-        return x
+        def one(x, _):
+            for wo, w1, w2 in zip(wos, w1s, w2s):
+                x = fused_proj_mlp_q8a8(
+                    x, y, wo.q, wo.scale, bo, lns, lnb,
+                    w1.q, w1.scale, b1, w2.q, w2.scale, b2,
+                )
+            return x, ()
+        return jax.lax.scan(one, x, None, length=ITERS)[0].sum()
 
-    t_bf, _ = bench(chain_bf16, x, y, (wobf, w1bf, w2bf))
+    t_bf = bench(chain_bf16, x, y, (wobf, w1bf, w2bf))
     bytes_bf = L * (C * C + 2 * C * H) * 2
     print(f"bf16  chain: {t_bf*1e3:7.2f} ms  {bytes_bf/t_bf/1e9:6.0f} GB/s", flush=True)
 
-    t_q8, _ = bench(chain_q8, x, y, wos, w1s, w2s)
+    t_q8 = bench(chain_q8, x, y, wos, w1s, w2s)
     bytes_q8 = L * (C * C + 2 * C * H)
     print(f"q8    chain: {t_q8*1e3:7.2f} ms  {bytes_q8/t_q8/1e9:6.0f} GB/s (int8 bytes)", flush=True)
 
-    t_a8, _ = bench(chain_q8a8, x, y, wos, w1s, w2s)
+    t_a8 = bench(chain_q8a8, x, y, wos, w1s, w2s)
     print(f"q8a8  chain: {t_a8*1e3:7.2f} ms  {bytes_q8/t_a8/1e9:6.0f} GB/s (int8 bytes)", flush=True)
 
     # numeric error of ONE q8a8 layer vs the q8 (W8A16) layer

@@ -180,7 +180,10 @@ def run_stage1(steps=STEPS1, res=RES, bs=BS, n_images=N_IMAGES, small=False,
     )
     if small:
         p_weight = 0.0
-    gan_cfg = t1.GanLossConfig(disc_start=0, perceptual_weight=p_weight)
+    gan_cfg = t1.GanLossConfig(
+        disc_start=0, perceptual_weight=p_weight,
+        amp_bf16=bool(_os.environ.get("AMP_S1")),
+    )
     step = jax.jit(
         t1.make_train_step(
             model, disc, lpips, lpips_vars, gan_cfg, tx, dtx,

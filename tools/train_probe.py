@@ -65,12 +65,14 @@ def stage1():
     if os.environ.get("PROBE_ABLATE"):
         variants += [("no-lpips", 0.0, True), ("no-disc+no-lpips", 0.0, False),
                      ("lpips-only(no-disc)", 1.0, False)]
+    amp_s1 = bool(os.environ.get("PROBE_AMP_S1"))
     batch = {"images": jax.random.uniform(jax.random.PRNGKey(1), (BS, 256, 256, 3)) * 2 - 1}
     rng = jax.random.PRNGKey(2)
     for name, pw, use_disc in variants:
         step = jax.jit(
             t1.make_train_step(model, disc, lpips, lpips_vars,
-                               t1.GanLossConfig(disc_start=0, perceptual_weight=pw),
+                               t1.GanLossConfig(disc_start=0, perceptual_weight=pw,
+                                                amp_bf16=amp_s1),
                                tx, dtx, use_discriminator=use_disc),
             donate_argnums=(0,),
         )
