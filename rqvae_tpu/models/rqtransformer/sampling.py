@@ -148,6 +148,42 @@ def _vq_lookup(vq_state: rq.CodebookState, vq_config: rq.QuantizerConfig, d: int
     return rq.embed_lookup(cb, code)
 
 
+def _tp_mesh_of(params):
+    """The mesh of the first param leaf sharded over the tensor-parallel
+    'model' axis, or None when params are unsharded/replicated/DP-only."""
+    from rqvae_tpu.parallel.mesh import MODEL_AXIS
+
+    for leaf in jax.tree.leaves(params):
+        sharding = getattr(leaf, "sharding", None)
+        spec = getattr(sharding, "spec", None)
+        if spec is None:
+            continue
+        for part in spec:
+            axes = part if isinstance(part, tuple) else (part,)
+            if MODEL_AXIS in axes:
+                return sharding.mesh
+    return None
+
+
+def _tp_safe_policy(policy: M.DecodePolicy, mesh, batch_size: int) -> M.DecodePolicy:
+    """Pin the decode to GSPMD-partitionable XLA backends for tensor-parallel
+    sampling. The Pallas decode kernels (attn='pallas', dense='pallas'/'mega')
+    are opaque custom calls with no SPMD partitioning rule — under a
+    model-sharded mesh XLA cannot split their head/hidden dims over ICI, so
+    'auto' must never resolve to them. The measured vpu/mxu attention
+    crossover (B~150, model.py decode-dispatch-policy table) was taken
+    per-chip, so it is applied to the PER-DEVICE batch B / mesh data size."""
+    from rqvae_tpu.parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    b_local = max(1, batch_size // max(1, n_data))
+    attn = policy.attn
+    if attn in ("auto", "pallas"):
+        attn = "vpu" if b_local < 150 else "mxu"
+    dense = policy.dense if policy.dense not in ("auto", "pallas", "mega") else "xla"
+    return policy._replace(attn=attn, dense=dense)
+
+
 def sample(
     params: dict,
     config: TransformerConfig,
@@ -175,6 +211,14 @@ def sample(
     H, W, _ = config.block_size
     if policy.unroll is None:
         policy = policy._replace(unroll=H * W <= 128)
+    tp_mesh = _tp_mesh_of(params)
+    if tp_mesh is not None:
+        # tensor-parallel serving: params Megatron-sharded over 'model'
+        # (parallel/mesh.py::transformer_param_specs) — GSPMD partitions the
+        # whole AR scan (head-sharded KV caches, psum after proj/mlp-out,
+        # all-gather of the vocab-split logits before the draw), but only
+        # over XLA ops; see _tp_safe_policy.
+        policy = _tp_safe_policy(policy, tp_mesh, batch_size)
     return _sample(
         params, config, rng, batch_size, cond, vq_state, vq_config,
         temperature,

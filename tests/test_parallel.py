@@ -56,6 +56,38 @@ def test_sharded_sampling_matches_unsharded(setup):
     np.testing.assert_array_equal(np.asarray(codes_single), np.asarray(codes_sharded))
 
 
+def test_tensor_parallel_sampling_matches_unsharded(setup):
+    """TP serving: params Megatron-sharded over 'model' (and the batch over
+    'data'), the WHOLE jitted AR sampling scan partitioned by GSPMD —
+    head-sharded KV caches, psum after row-parallel matmuls, vocab-split
+    classifier gathered before the draw. Same keys -> identical codes.
+    A Pallas-selecting policy must be coerced to XLA backends
+    (sampling._tp_safe_policy): Pallas custom calls have no SPMD rule."""
+    config, params, vq_state, vq_config = setup
+    B = 8
+    cond = jnp.arange(B, dtype=jnp.int32) % 8
+    codes_single = S.sample(
+        params, config, jax.random.PRNGKey(2), B, cond=cond,
+        vq_state=vq_state, vq_config=vq_config, top_k=16, top_p=0.9,
+    )
+
+    mesh = mesh_lib.create_mesh(2, 4)  # 2-way DP x 4-way TP
+    params_tp = mesh_lib.shard_pytree(
+        params, mesh_lib.transformer_param_specs(params), mesh
+    )
+    cond_sh = jax.device_put(cond, NamedSharding(mesh, P("data")))
+    # dense='pallas' would be an opaque unpartitionable custom call: the
+    # sampler must detect the model-sharded params and pin XLA backends
+    forced = M.DecodePolicy(attn="pallas", dense="pallas")
+    with mesh:
+        codes_tp = S.sample(
+            params_tp, config, jax.random.PRNGKey(2), B, cond=cond_sh,
+            vq_state=vq_state, vq_config=vq_config, top_k=16, top_p=0.9,
+            policy=forced,
+        )
+    np.testing.assert_array_equal(np.asarray(codes_single), np.asarray(codes_tp))
+
+
 def test_tensor_parallel_forward_matches_replicated(setup):
     config, params, vq_state, vq_config = setup
     mesh = mesh_lib.create_mesh(2, 4)  # 4-way TP
