@@ -210,6 +210,11 @@ class DecodePolicy(NamedTuple):
     unroll: Optional[bool] = None
     phases: int = 2
     exact_sample: bool = False  # reference-exact top-k tie semantics
+    # int8 BODY KV cache (unrolled path only): halves the cache HBM stream;
+    # per-(token, head) scales fold into the [B, T, nh] score/weight
+    # matrices (ops/attention_kernel.py q8 section). Opt-in — quantization
+    # perturbs the sampled distribution (bounded by tests/test_decode_modes).
+    kv_q8: bool = False
 
 
 DEFAULT_POLICY = DecodePolicy()
@@ -252,14 +257,17 @@ def decode_policy_from_env() -> DecodePolicy:
         warnings.warn("RQVAE_TPU_SAMPLE_PHASES not an int; using 2")
         phases = 2
     exact = _get("RQVAE_TPU_SAMPLE_EXACT") in ("1", "true", "yes")
+    kv_q8 = _get("RQVAE_TPU_KV_Q8") in ("1", "true", "yes")
     return DecodePolicy(
         attn=attn, attn_v=attn_v, dense=dense, unroll=unroll,
-        phases=phases, exact_sample=exact,
+        phases=phases, exact_sample=exact, kv_q8=kv_q8,
     )
 
 
 def sublane_tile(dtype) -> int:
-    """Mosaic second-minor tile: 16 rows bf16, 8 rows fp32."""
+    """Mosaic second-minor tile: 32 rows int8, 16 rows bf16, 8 rows fp32."""
+    if dtype == jnp.int8:
+        return 32
     return 16 if dtype == jnp.bfloat16 else 8
 
 
@@ -632,6 +640,24 @@ def init_unrolled_kv_cache(cfg: StackConfig, batch: int, t_max: int, dtype=jnp.f
     )
 
 
+def init_unrolled_kv_cache_q8(cfg: StackConfig, batch: int, t_max: int):
+    """Tuple of per-layer int8 (kq, k_scale, vq, v_scale) caches:
+    values [B, T, C] int8, per-(token, head) scales [B, T, n_head] bf16.
+    t_max should be rounded to the int8 sublane tile (32) by the caller so
+    the Pallas q8 kernel gets aligned cache blocks."""
+    shape = (batch, t_max, cfg.embed_dim)
+    sshape = (batch, t_max, cfg.n_head)
+    return tuple(
+        (
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(sshape, jnp.bfloat16),
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(sshape, jnp.bfloat16),
+        )
+        for _ in range(cfg.n_layer)
+    )
+
+
 def _head_seg(C: int, n_head: int, dtype):
     """Constant 0/1 head-segment matrix seg[c, h] = (c // hs == h)."""
     hs = C // n_head
@@ -744,6 +770,9 @@ def stack_step_unrolled(
     B, S, C = x.shape
     n_head = cfg.n_head
     hs = C // n_head
+    # int8 cache variant: per-layer (kq, k_scale, vq, v_scale) 4-tuples
+    # (init_unrolled_kv_cache_q8) instead of (k, v) pairs
+    q8_cache = len(caches[0]) == 4
     cache_T = caches[0][0].shape[1]
     t_max = cache_T
     if window is not None:
@@ -758,8 +787,14 @@ def stack_step_unrolled(
 
     attn_backend = resolve_attn_backend(
         policy.attn, batch=B, t_max=t_max, C=C, n_head=n_head,
-        dtype=caches[0][0].dtype, cache_T=cache_T,
+        dtype=jnp.bfloat16 if q8_cache else caches[0][0].dtype,
+        cache_T=cache_T,
     )
+    if q8_cache and attn_backend == "pallas":
+        # the int8 cache block needs the int8 sublane tile (32 rows); fall
+        # back to the XLA-dequant path when the allocation is not aligned
+        if not ((-(-t_max // 32) * 32 <= cache_T) or cache_T % 32 == 0):
+            attn_backend = "mxu" if B >= 150 else "vpu"
     dense_backend = (
         resolve_dense_backend(policy.dense, batch=B, C=C, dtype=x.dtype)
         if S == 1
@@ -770,6 +805,7 @@ def stack_step_unrolled(
     lp0 = layer_params[0]
     mega_ok = (
         dense_backend == "mega"
+        and not q8_cache
         and "wqkv" in lp0["attn"]
         and (-(-t_max // sub) * sub <= cache_T or cache_T % sub == 0)
         and not any(
@@ -812,7 +848,20 @@ def stack_step_unrolled(
         return xt[:, None, :], tuple(new_caches)
 
     new_caches = []
-    for lp, (k_l, v_l) in zip(layer_params, caches):
+    for lp, cache_l in zip(layer_params, caches):
+        if q8_cache:
+            kq_l, ks_l, vq_l, vs_l = cache_l
+            if attn_backend == "pallas" and S == 1:
+                k_l = v_l = None  # the q8 kernel streams int8 directly
+            else:
+                # XLA fallback / prefill: materialize the bf16 cache once
+                # per layer (correctness path; the kernel never does this)
+                from rqvae_tpu.ops import attention_kernel as _AK
+
+                k_l = _AK.dequantize_cache(kq_l, ks_l, n_head)
+                v_l = _AK.dequantize_cache(vq_l, vs_l, n_head)
+        else:
+            k_l, v_l = cache_l
         # the dense kernels consume wqkv, wo, w1 AND w2: route fully-plain
         # layers through the bf16 streaming kernels and fully-int8 layers
         # through the q8 variants (int8 DMA at half the bytes, in-kernel
@@ -859,12 +908,20 @@ def stack_step_unrolled(
                 # round the window up to the sublane tile so Mosaic gets an
                 # aligned cache block; rows in [cur_len, W) are masked out
                 # (alignment of the result is part of _pallas_attn_legal)
-                sub = sublane_tile(k_l.dtype)
-                W = min(k_l.shape[1], -(-t_max // sub) * sub)
-                y = _AK.decode_attention(
-                    q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
-                    cur_len, n_head, t_window=W,
-                )[:, None, :]
+                if q8_cache:
+                    W = min(cache_T, -(-t_max // 32) * 32)
+                    y = _AK.decode_attention_q8(
+                        q[:, 0, :], k[:, 0, :], v[:, 0, :],
+                        kq_l, ks_l, vq_l, vs_l,
+                        cur_len, n_head, t_window=W,
+                    )[:, None, :]
+                else:
+                    sub = sublane_tile(k_l.dtype)
+                    W = min(k_l.shape[1], -(-t_max // sub) * sub)
+                    y = _AK.decode_attention(
+                        q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
+                        cur_len, n_head, t_window=W,
+                    )[:, None, :]
             else:
                 y = _decode_attention_xla(
                     q, k, v, k_l[:, :t_max], v_l[:, :t_max], cur_len, n_head,
@@ -914,16 +971,42 @@ def stack_step_unrolled(
             h2 = layer_norm(x2, lp["ln2"]["scale"], lp["ln2"]["bias"])
             m = _mm(gelu(_mm(h2, lp["mlp"]["w1"]) + lp["mlp"]["b1"], cfg.gelu), lp["mlp"]["w2"]) + lp["mlp"]["b2"]
             x = x2 + m
-        new_caches.append(
-            (
-                jax.lax.dynamic_update_slice(
-                    k_l, k.astype(k_l.dtype), (0, cur_len, 0)
-                ),
-                jax.lax.dynamic_update_slice(
-                    v_l, v.astype(v_l.dtype), (0, cur_len, 0)
-                ),
+        if q8_cache:
+            from rqvae_tpu.ops import attention_kernel as _AK
+
+            kqn, ksn = _AK.quantize_kv(k.reshape(B * S, C), n_head)
+            vqn, vsn = _AK.quantize_kv(v.reshape(B * S, C), n_head)
+            new_caches.append(
+                (
+                    jax.lax.dynamic_update_slice(
+                        kq_l, kqn.reshape(B, S, C), (0, cur_len, 0)
+                    ),
+                    jax.lax.dynamic_update_slice(
+                        ks_l,
+                        ksn.reshape(B, S, n_head).astype(ks_l.dtype),
+                        (0, cur_len, 0),
+                    ),
+                    jax.lax.dynamic_update_slice(
+                        vq_l, vqn.reshape(B, S, C), (0, cur_len, 0)
+                    ),
+                    jax.lax.dynamic_update_slice(
+                        vs_l,
+                        vsn.reshape(B, S, n_head).astype(vs_l.dtype),
+                        (0, cur_len, 0),
+                    ),
+                )
             )
-        )
+        else:
+            new_caches.append(
+                (
+                    jax.lax.dynamic_update_slice(
+                        k_l, k.astype(k_l.dtype), (0, cur_len, 0)
+                    ),
+                    jax.lax.dynamic_update_slice(
+                        v_l, v.astype(v_l.dtype), (0, cur_len, 0)
+                    ),
+                )
+            )
     return x, tuple(new_caches)
 
 

@@ -19,6 +19,7 @@ categorical draw.
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import Optional, Sequence
 
@@ -181,7 +182,9 @@ def _tp_safe_policy(policy: M.DecodePolicy, mesh, batch_size: int) -> M.DecodePo
     if attn in ("auto", "pallas"):
         attn = "vpu" if b_local < 150 else "mxu"
     dense = policy.dense if policy.dense not in ("auto", "pallas", "mega") else "xla"
-    return policy._replace(attn=attn, dense=dense)
+    # kv_q8 only pays inside the Pallas kernel (the XLA fallback re-
+    # materializes the bf16 cache every step — strictly worse than bf16)
+    return policy._replace(attn=attn, dense=dense, kv_q8=False)
 
 
 def sample(
@@ -211,6 +214,12 @@ def sample(
     H, W, _ = config.block_size
     if policy.unroll is None:
         policy = policy._replace(unroll=H * W <= 128)
+    if policy.kv_q8 and not policy.unroll:
+        warnings.warn(
+            "kv_q8 requires the unrolled decode path (per-layer caches); "
+            "ignoring RQVAE_TPU_KV_Q8 for the stacked-cache scan"
+        )
+        policy = policy._replace(kv_q8=False)
     tp_mesh = _tp_mesh_of(params)
     if tp_mesh is not None:
         # tensor-parallel serving: params Megatron-sharded over 'model'
@@ -317,10 +326,16 @@ def _sample(
         # rows >= cur_len are masked anyway so the padding is free (fixes
         # the unaligned-cache compile failure for conditional geometries
         # whose cond_len + HW - 1 is not a tile multiple)
-        t_alloc = -(-t_max // M.sublane_tile(dtype)) * M.sublane_tile(dtype)
+        sub_c = 32 if policy.kv_q8 else M.sublane_tile(dtype)
+        t_alloc = -(-t_max // sub_c) * sub_c
         body_lps = M.split_layer_params(params["body"], config.body)
         head_lps = M.split_layer_params(params["head"], config.head)
-        body_caches = M.init_unrolled_kv_cache(config.body, B, t_alloc, dtype)
+        if policy.kv_q8:
+            # int8 BODY cache (opt-in): halves the dominant cache HBM
+            # stream; the head's D-slot caches stay bf16 (no bytes to win)
+            body_caches = M.init_unrolled_kv_cache_q8(config.body, B, t_alloc)
+        else:
+            body_caches = M.init_unrolled_kv_cache(config.body, B, t_alloc, dtype)
 
         def body_step(x, caches, cur_len, window=None):
             return M.stack_step_unrolled(

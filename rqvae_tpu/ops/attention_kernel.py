@@ -257,3 +257,174 @@ def decode_attention(
         interpret=interpret,
     )(cur_len.reshape(1), q, k_new, v_new, k_cache, v_cache, seg)
     return y
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized KV cache (weight-streaming analogue for the CACHE bytes)
+# ---------------------------------------------------------------------------
+#
+# At large batch the KV cache dominates AR HBM traffic (bs500 1.4B: cache
+# ~60% of bytes/position vs weights ~40%). Storing K/V as int8 with one
+# bf16 scale per (token, head) halves the cache stream the same way the q8
+# dense kernels halve the weight stream. The trick that keeps dequant off
+# the critical path: scales NEVER touch the [B, T, C] tiles — the K scale
+# folds into the score matrix and the V scale into the softmax-weight
+# matrix, both [B, T, n_head] (= 1/hs of the cache tile), so the kernel
+# adds two tiny elementwise multiplies instead of a full-tile dequant.
+# The current position's k/v stay unquantized (exact self-attention path).
+
+
+def quantize_kv(x: jax.Array, n_head: int):
+    """Per-(row, head) symmetric int8 quantization of a [B, C] k or v row.
+
+    Returns (q int8 [B, C], scale fp32 [B, n_head]) with
+    q * scale ~= x (absmax scaling, round-to-nearest)."""
+    B, C = x.shape
+    hs = C // n_head
+    xh = x.reshape(B, n_head, hs).astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xh), axis=-1) / 127.0, 1e-8)
+    q = (
+        jnp.round(xh / scale[..., None])
+        .astype(jnp.int8)
+        .reshape(B, C)
+    )
+    return q, scale
+
+
+def dequantize_cache(q: jax.Array, scale: jax.Array, n_head: int) -> jax.Array:
+    """[B, T, C] int8 + [B, T, n_head] scales -> bf16 cache (XLA fallback /
+    test emulation; materializes the full cache, so only for correctness
+    paths — the kernel never does this)."""
+    B, T, C = q.shape
+    hs = C // n_head
+    x = q.astype(jnp.float32).reshape(B, T, n_head, hs) * scale.astype(
+        jnp.float32
+    )[..., None]
+    return x.reshape(B, T, C).astype(jnp.bfloat16)
+
+
+def _attn_math_q8(
+    cur_len, q, k_new, v_new, kq, ks, vq, vs, seg, y_ref, *, n_head, t_max
+):
+    """Same op order as _attn_math with the cache int8: products form in
+    bf16 (int8 values <= 127 are exact in bf16), K scales fold into the
+    fp32 score matrix, V scales fold into the softmax weights before the
+    lane broadcast."""
+    BT, C = q.shape
+    hs = C // n_head
+    scale = 1.0 / np.sqrt(hs)
+    cd = jnp.bfloat16
+    segc = seg.astype(cd)
+
+    prod = (kq.astype(cd) * q[:, None, :].astype(cd)).reshape(BT * t_max, C)
+    s_past = (
+        jnp.dot(prod, segc, preferred_element_type=jnp.float32).reshape(
+            BT, t_max, n_head
+        )
+        * ks.astype(jnp.float32)
+        * scale
+    )
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (1, t_max, 1), 1)
+    s_past = jnp.where(t_ids < cur_len, s_past, -jnp.inf)
+
+    s_self = (
+        jnp.dot(
+            (k_new * q).astype(cd), segc, preferred_element_type=jnp.float32
+        )[:, None, :]
+        * scale
+    )
+
+    m = jnp.maximum(jnp.max(s_past, axis=1, keepdims=True), s_self)
+    e_past = jnp.exp(s_past - m)
+    e_self = jnp.exp(s_self - m)
+    denom = jnp.sum(e_past, axis=1, keepdims=True) + e_self
+    w_past = ((e_past / denom) * vs.astype(jnp.float32)).astype(cd)
+    w_self = e_self / denom
+
+    w_lanes = (
+        jnp.dot(
+            w_past.reshape(BT * t_max, n_head), segc.T,
+            preferred_element_type=jnp.float32,
+        )
+        .astype(cd)
+        .reshape(BT, t_max, C)
+    )
+    y = jnp.sum(vq.astype(cd) * w_lanes, axis=1, dtype=jnp.float32)
+    ws_lanes = jnp.dot(
+        w_self[:, 0, :], seg.T,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    y = y + v_new.astype(jnp.float32) * ws_lanes
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+def _decode_attn_kernel_q8(
+    cur_len_ref, q_ref, k_new_ref, v_new_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+    seg_ref, y_ref, *, n_head, t_max
+):
+    _attn_math_q8(
+        cur_len_ref[0], q_ref[:], k_new_ref[:], v_new_ref[:], kq_ref[:],
+        ks_ref[:], vq_ref[:], vs_ref[:], seg_ref[:], y_ref,
+        n_head=n_head, t_max=t_max,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "b_tile", "t_window", "interpret")
+)
+def decode_attention_q8(
+    q: jax.Array,  # [B, C]
+    k_new: jax.Array,  # [B, C] (unquantized current position)
+    v_new: jax.Array,  # [B, C]
+    kq_cache: jax.Array,  # [B, T, C] int8
+    ks_cache: jax.Array,  # [B, T, n_head] scales
+    vq_cache: jax.Array,  # [B, T, C] int8
+    vs_cache: jax.Array,  # [B, T, n_head]
+    cur_len: jax.Array,
+    n_head: int,
+    b_tile: int = 8,
+    t_window: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """decode_attention with the cache streamed as int8 + per-(token, head)
+    scales: half the cache HBM bytes, same ragged-batch masking and phase
+    windows."""
+    B, C = q.shape
+    T = kq_cache.shape[1]
+    W = T if t_window is None else min(t_window, T)
+
+    hs = C // n_head
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0) // hs
+        == jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 1)
+    ).astype(jnp.float32)
+
+    grid = (pl.cdiv(B, b_tile),)
+    kernel = functools.partial(_decode_attn_kernel_q8, n_head=n_head, t_max=W)
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, W, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, W, n_head), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, W, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, W, n_head), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((C, n_head), lambda i, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        cur_len.reshape(1), q, k_new, v_new, kq_cache, ks_cache, vq_cache,
+        vs_cache, seg,
+    )
+    return y

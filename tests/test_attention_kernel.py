@@ -15,7 +15,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from rqvae_tpu.ops.attention_kernel import decode_attention, decode_attention_stacked
+from rqvae_tpu.ops.attention_kernel import (
+    decode_attention,
+    decode_attention_q8,
+    decode_attention_stacked,
+    dequantize_cache,
+    quantize_kv,
+)
 
 B, T, C, NH, HS = 8, 17, 256, 4, 64
 
@@ -71,6 +77,46 @@ def test_decode_attention_t_window_prefix_and_ragged_batch():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_quantize_kv_round_trip():
+    """Per-(row, head) absmax int8: q * scale reconstructs within 1/127 of
+    each head's absmax."""
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(B, C).astype(np.float32)) * 3.0
+    q8, s = quantize_kv(x, NH)
+    assert q8.dtype == jnp.int8 and s.shape == (B, NH)
+    xh = np.asarray(x).reshape(B, NH, HS)
+    rec = np.asarray(q8, np.float32).reshape(B, NH, HS) * np.asarray(s)[..., None]
+    amax = np.abs(xh).max(-1, keepdims=True)
+    assert np.abs(rec - xh).max() <= (amax / 127.0 * 0.51 + 1e-6).max()
+
+
+def test_decode_attention_q8_matches_dequantized_reference():
+    """The q8 kernel must equal attention over the DEQUANTIZED cache (the
+    quantization error itself is the accepted approximation; the kernel's
+    scale-folding must add nothing beyond bf16 rounding)."""
+    r = np.random.RandomState(4)
+    q = jnp.asarray(r.randn(B, C), jnp.bfloat16)
+    kn = jnp.asarray(r.randn(B, C), jnp.bfloat16)
+    vn = jnp.asarray(r.randn(B, C), jnp.bfloat16)
+    kc = jnp.asarray(r.randn(B, T, C).astype(np.float32))
+    vc = jnp.asarray(r.randn(B, T, C).astype(np.float32))
+    kq, ks = jax.vmap(quantize_kv, in_axes=(1, None), out_axes=1)(kc, NH)
+    vq, vs = jax.vmap(quantize_kv, in_axes=(1, None), out_axes=1)(vc, NH)
+    y = np.asarray(
+        decode_attention_q8(
+            q, kn, vn, kq, ks, vq, vs, jnp.int32(9), NH, interpret=True
+        ),
+        np.float32,
+    )
+    kc_dq = dequantize_cache(kq, ks, NH)
+    vc_dq = dequantize_cache(vq, vs, NH)
+    yref = reference_attention(q, kn, vn, kc_dq, vc_dq, 9)
+    assert np.abs(y - yref).max() < 0.05
+    # and the full pipeline (quant + kernel) tracks the exact fp32 result
+    yexact = reference_attention(q, kn, vn, kc, vc, 9)
+    assert np.abs(y - yexact).max() < 0.08
 
 
 def test_stacked_variant_selects_layer_without_copy_semantics():

@@ -257,3 +257,66 @@ def test_sample_policy_exact_mode_runs():
     )
     assert filt.shape == fast.shape
     assert (np.asarray(filt) >= 0).all() and (np.asarray(filt) < 32).all()
+
+
+def test_sample_kv_q8_policy_end_to_end():
+    """Opt-in int8 body KV cache (DecodePolicy.kv_q8): the sampler
+    allocates per-layer (kq, k_scale, vq, v_scale) caches, quantizes
+    writes and runs attention over the quantized cache (Pallas on TPU,
+    dequant-XLA here). The draws must be deterministic, in-support, and
+    track the bf16-cache run closely — quantization perturbs logits by
+    ~1/127 of each head's absmax, far below typical top-1 margins, so the
+    fixed-seed sampled grids are pinned to high agreement (deterministic,
+    not a statistical test)."""
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+    arch = dict(
+        type="rq-transformer", vocab_size=32, block_size=[3, 3, 2],
+        embed_dim=64, input_embed_dim=16, shared_tok_emb=True,
+        shared_cls_emb=True, input_emb_vqvae=False, head_emb_vqvae=False,
+        cumsum_depth_ctx=True, vocab_size_cond=4, block_size_cond=1,
+        body={"n_layer": 2, "block": {"n_head": 4}},
+        head={"n_layer": 1, "block": {"n_head": 4}},
+    )
+    config = TransformerConfig.create(
+        augment_arch_defaults(Config(arch)).to_dict()
+    )
+    params = M.init_transformer_params(jax.random.PRNGKey(0), config)
+    rng = jax.random.PRNGKey(1)
+    base = S.sample(params, config, rng, 8, policy=M.DecodePolicy())
+    q8 = S.sample(params, config, rng, 8, policy=M.DecodePolicy(kv_q8=True))
+    q8b = S.sample(params, config, rng, 8, policy=M.DecodePolicy(kv_q8=True))
+    np.testing.assert_array_equal(np.asarray(q8), np.asarray(q8b))
+    assert q8.shape == base.shape
+    a = np.asarray(base).ravel()
+    b = np.asarray(q8).ravel()
+    assert (b >= 0).all() and (b < 32).all()
+    agree = (a == b).mean()
+    assert agree >= 0.9, f"kv_q8 sampled grid diverged: agreement {agree}"
+
+
+def test_sample_kv_q8_stacked_path_warns_and_ignores():
+    """kv_q8 needs per-layer caches; the stacked-cache scan must warn and
+    run with the bf16 cache instead of crashing."""
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+    arch = dict(
+        type="rq-transformer", vocab_size=16, block_size=[2, 2, 2],
+        embed_dim=64, input_embed_dim=16, shared_tok_emb=True,
+        shared_cls_emb=True, input_emb_vqvae=False, head_emb_vqvae=False,
+        cumsum_depth_ctx=True, vocab_size_cond=4, block_size_cond=1,
+        body={"n_layer": 1, "block": {"n_head": 4}},
+        head={"n_layer": 1, "block": {"n_head": 4}},
+    )
+    config = TransformerConfig.create(
+        augment_arch_defaults(Config(arch)).to_dict()
+    )
+    params = M.init_transformer_params(jax.random.PRNGKey(0), config)
+    with pytest.warns(UserWarning, match="kv_q8"):
+        out = S.sample(
+            params, config, jax.random.PRNGKey(1), 4,
+            policy=M.DecodePolicy(unroll=False, kv_q8=True),
+        )
+    assert out.shape == (4, 2, 2, 2)
