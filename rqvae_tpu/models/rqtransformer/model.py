@@ -183,8 +183,11 @@ def quantize_transformer_params(params: dict) -> dict:
 # Measured auto policy (1.4B cIN256 geometry, v5e, bf16):
 #   attention:  vpu (broadcast-mul scores) below bs150; mxu (head-segment
 #               matrix dot) bs150-300; pallas fused kernel >= bs300 where
-#               legal. Stacked-cache path (long sequences): mxu when
-#               B*t_max >= 10000 else vpu. Tiny head caches (T < 16)
+#               legal. The 300 threshold is MEASURED, not interpolated
+#               (tools/exp_attn_crossover.py AR ms/sample): bs250 mxu
+#               4.37 vs pallas 4.88; bs300 4.91 vs 4.90 (tie); bs400
+#               5.07 vs 4.64. Stacked-cache path (long sequences): mxu
+#               when B*t_max >= 10000 else vpu. Tiny head caches (T < 16)
 #               always XLA.
 #   dense:      pallas weight-streaming kernels below bs150 (where the
 #               attention stays on XLA — adjacent Pallas custom calls
