@@ -880,6 +880,7 @@ def stack_step_unrolled(
         )
         dense_ok = dense_mode and "wqkv" in lp["attn"] and n_quant in (0, 4)
         dense_q8 = dense_ok and n_quant == 4
+        k_wr = v_wr = None  # set when the attention kernel wrote the cache
         if dense_ok:
             from rqvae_tpu.ops import decode_layer_kernel as _DK
 
@@ -918,6 +919,18 @@ def stack_step_unrolled(
                         kq_l, ks_l, vq_l, vs_l,
                         cur_len, n_head, t_window=W,
                     )[:, None, :]
+                elif cache_T % sublane_tile(k_l.dtype) == 0:
+                    # fused in-kernel cache write (input_output_aliases):
+                    # kills the XLA dynamic-update-slice whose tile
+                    # read-modify-write cost ~96us/cache at bs500 (~20% of
+                    # AR — the bs500 trace decomposition in COVERAGE.md)
+                    sub = sublane_tile(k_l.dtype)
+                    W = min(k_l.shape[1], -(-t_max // sub) * sub)
+                    y, k_wr, v_wr = _AK.decode_attention_update(
+                        q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
+                        cur_len, n_head, t_window=W,
+                    )
+                    y = y[:, None, :]
                 else:
                     sub = sublane_tile(k_l.dtype)
                     W = min(k_l.shape[1], -(-t_max // sub) * sub)
@@ -999,6 +1012,8 @@ def stack_step_unrolled(
                     ),
                 )
             )
+        elif k_wr is not None:
+            new_caches.append((k_wr, v_wr))
         else:
             new_caches.append(
                 (

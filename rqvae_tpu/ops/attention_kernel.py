@@ -260,6 +260,131 @@ def decode_attention(
 
 
 # ---------------------------------------------------------------------------
+# fused cache update: the kernel writes the new k/v row itself
+# ---------------------------------------------------------------------------
+#
+# The bs500 xplane trace showed the XLA cache write dominating the decode
+# glue: each dynamic-update-slice of a [B, 1, C] row into the (8,128)-tiled
+# [B, T, C] cache costs ~96us at B=500 (sublane read-modify-write
+# amplification of every touched tile), 2 per layer -> ~505 ms/batch, plus
+# associated whole-cache copies. The kernel already holds the update row's
+# sublane-aligned neighborhood in VMEM (the attention window covers
+# cur_len), so emitting the updated rows costs ONE tile-aligned block write
+# per cache — no RMW, no extra read — with `input_output_aliases` making
+# the write in-place in HBM (the XLA DUS disappears entirely).
+
+
+def _decode_attn_kernel_update(
+    cur_len_ref,  # SMEM [1]
+    q_ref, k_new_ref, v_new_ref, kc_ref, vc_ref, seg_ref,
+    y_ref,
+    k_upd_ref,  # [BT, SUB, C] block of the aliased k cache at the
+    v_upd_ref,  # sublane-aligned window containing row cur_len
+    *,
+    n_head: int,
+    t_max: int,
+    sub: int,
+):
+    cur_len = cur_len_ref[0]
+    _attn_math(
+        cur_len, q_ref[:], k_new_ref[:], v_new_ref[:], kc_ref[:], vc_ref[:],
+        seg_ref[:], y_ref, n_head=n_head, t_max=t_max,
+    )
+    # replace row (cur_len % sub) of the window with the new k/v; the other
+    # sub-1 rows pass through unchanged (full-tile write, no RMW)
+    start = (cur_len // sub) * sub
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, sub, 1), 1)
+    is_new = row == (cur_len - start)
+    old_k = kc_ref[:, pl.dslice(start, sub), :]
+    old_v = vc_ref[:, pl.dslice(start, sub), :]
+    k_upd_ref[:] = jnp.where(
+        is_new, k_new_ref[:][:, None, :].astype(k_upd_ref.dtype), old_k
+    )
+    v_upd_ref[:] = jnp.where(
+        is_new, v_new_ref[:][:, None, :].astype(v_upd_ref.dtype), old_v
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "b_tile", "t_window", "interpret")
+)
+def decode_attention_update(
+    q: jax.Array,  # [B, C]
+    k_new: jax.Array,  # [B, C]
+    v_new: jax.Array,  # [B, C]
+    k_cache: jax.Array,  # [B, T, C] — DONATED: aliased into output 1
+    v_cache: jax.Array,  # [B, T, C] — DONATED: aliased into output 2
+    cur_len: jax.Array,  # int32 scalar
+    n_head: int,
+    b_tile: int = 8,
+    t_window: int | None = None,
+    interpret: bool = False,
+):
+    """decode_attention + in-kernel cache write at row cur_len.
+
+    Returns (y [B, C], k_cache', v_cache') where the caches are updated IN
+    PLACE (input_output_aliases) — callers must treat the passed caches as
+    consumed, exactly like the reference's torch in-place cache update
+    (attentions.py cached k/v assignment). Requires the attention window to
+    cover row cur_len (guaranteed by the sampler: window >= cur_len + 1)
+    and a sublane-tile-aligned cache T (the sampler allocates t_alloc
+    rounded up)."""
+    B, C = q.shape
+    T = k_cache.shape[1]
+    W = T if t_window is None else min(t_window, T)
+    sub = 16 if k_cache.dtype == jnp.bfloat16 else 8
+    assert T % sub == 0, f"cache T={T} must be {sub}-row aligned"
+
+    hs = C // n_head
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0) // hs
+        == jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 1)
+    ).astype(jnp.float32)
+
+    grid = (pl.cdiv(B, b_tile),)
+    kernel = functools.partial(
+        _decode_attn_kernel_update, n_head=n_head, t_max=W, sub=sub
+    )
+    y, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, W, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, W, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((C, n_head), lambda i, *_: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec(
+                    (b_tile, sub, C), lambda i, s: (i, s[0] // sub, 0)
+                ),
+                pl.BlockSpec(
+                    (b_tile, sub, C), lambda i, s: (i, s[0] // sub, 0)
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C), q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # operand indices include the scalar prefetch (0); caches are
+        # operands 4/5 -> outputs 1/2
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(cur_len.reshape(1), q, k_new, v_new, k_cache, v_cache, seg)
+    return y, k_out, v_out
+
+
+# ---------------------------------------------------------------------------
 # int8-quantized KV cache (weight-streaming analogue for the CACHE bytes)
 # ---------------------------------------------------------------------------
 #

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from rqvae_tpu.ops.attention_kernel import (
+    decode_attention_update,
     decode_attention,
     decode_attention_q8,
     decode_attention_stacked,
@@ -133,3 +134,31 @@ def test_stacked_variant_selects_layer_without_copy_semantics():
             q, kn, vn, kc, vc, jnp.int32(l), jnp.int32(9), NH, b_tile=8, interpret=True
         )
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)
+
+
+def test_decode_attention_update_matches_separate_write():
+    """decode_attention_update must (a) return the same y as the plain
+    kernel and (b) leave the caches equal to an explicit
+    dynamic_update_slice at row cur_len — including the ragged last batch
+    tile and a t_window < T."""
+    r = np.random.RandomState(7)
+    Br = 12  # ragged: 12 = 8 + 4 with b_tile=8
+    q = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    kn = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    vn = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    Tc = 32  # sublane-aligned cache
+    kc = jnp.asarray(r.randn(Br, Tc, C), jnp.bfloat16)
+    vc = jnp.asarray(r.randn(Br, Tc, C), jnp.bfloat16)
+    for cur, win in [(9, 16), (17, 32), (31, 32)]:
+        cur_len = jnp.int32(cur)
+        y0 = decode_attention(
+            q, kn, vn, kc, vc, cur_len, NH, t_window=win, interpret=True
+        )
+        y, k2, v2 = decode_attention_update(
+            q, kn, vn, kc, vc, cur_len, NH, t_window=win, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y))
+        kref = jax.lax.dynamic_update_slice(kc, kn[:, None, :], (0, cur, 0))
+        vref = jax.lax.dynamic_update_slice(vc, vn[:, None, :], (0, cur, 0))
+        np.testing.assert_array_equal(np.asarray(k2), np.asarray(kref))
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(vref))
