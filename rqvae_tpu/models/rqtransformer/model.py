@@ -181,17 +181,22 @@ def quantize_transformer_params(params: dict) -> dict:
 # compile), and nothing inside model internals reads os.environ.
 #
 # Measured auto policy (1.4B cIN256 geometry, v5e, bf16):
-#   attention:  vpu (broadcast-mul scores) below bs150; mxu (head-segment
-#               matrix dot) bs150-300; pallas fused kernel >= bs300 where
-#               legal. The 300 threshold is MEASURED, not interpolated
-#               (tools/exp_attn_crossover.py AR ms/sample): bs250 mxu
-#               4.37 vs pallas 4.88; bs300 4.91 vs 4.90 (tie); bs400
-#               5.07 vs 4.64. Stacked-cache path (long sequences): mxu
-#               when B*t_max >= 10000 else vpu. Tiny head caches (T < 16)
-#               always XLA.
-#   dense:      pallas weight-streaming kernels below bs150 (where the
-#               attention stays on XLA — adjacent Pallas custom calls
-#               serialize each other's DMA), XLA fusions above.
+#   attention:  pallas fused kernel (with in-kernel cache write,
+#               ops/attention_kernel.py::decode_attention_update) at
+#               EVERY batch where legal and t_max >= 32 — measured
+#               (tools/exp_attn_crossover.py, AR ms/sample vs best XLA):
+#               bs100 5.39/6.08, bs150 4.41/7.72, bs200 3.87/4.92, bs250
+#               3.88/4.37, bs500 3.71/4.94. (Before the fused cache
+#               write the kernel only won >= bs300 — the XLA
+#               dynamic-update-slice cache write it now absorbs cost
+#               ~96us/layer at bs500.) Fallbacks when illegal: vpu
+#               (broadcast-mul scores) below bs150, mxu (head-segment
+#               matrix dot) above. Stacked-cache path (long sequences):
+#               mxu when B*t_max >= 10000 else vpu. Tiny head caches
+#               (T < 16) always XLA.
+#   dense:      pallas weight-streaming kernels below bs150 when the
+#               attention stays on XLA (adjacent Pallas custom calls
+#               serialize each other's DMA), XLA fusions otherwise.
 #   unroll:     per-layer python-unrolled caches for HW <= 128; stacked
 #               lax.scan cache beyond (XLA stops aliasing many separate
 #               cache buffers in place at long HW).
@@ -316,15 +321,28 @@ def resolve_attn_backend(
         return "pallas"
     if stacked:
         return "mxu" if batch * t_max >= 10000 else "vpu"
-    if mode != "pallas" and legal and t_max >= 32 and batch >= 300:
+    if mode != "pallas" and legal and t_max >= 32:
+        # with the fused in-kernel cache write (decode_attention_update)
+        # the kernel wins at EVERY measured batch, not just >= 300:
+        # exp_attn_crossover.py AR ms/sample vs the best XLA backend —
+        # bs100 5.39 vs 6.08(vpu), bs150 4.41 vs 7.72(mxu), bs200 3.87 vs
+        # 4.92, bs250 3.88 vs 4.37, bs500 3.71 vs 4.94
         return "pallas"
     return "mxu" if batch >= 150 else "vpu"
 
 
-def resolve_dense_backend(mode: str, *, batch: int, C: int, dtype) -> str:
+def resolve_dense_backend(
+    mode: str, *, batch: int, C: int, dtype, attn_backend: str = "vpu"
+) -> str:
     """Dense-half policy table -> 'xla' | 'pallas' (weight-streaming
     kernels, ops/decode_layer_kernel.py) | 'mega' (whole-layer fused
-    kernel, ops/decode_megakernel.py — experimental, forced only)."""
+    kernel, ops/decode_megakernel.py — experimental, forced only).
+
+    'auto' resolves to the weight-streaming kernels ONLY when the
+    attention stays on XLA: adjacent Pallas custom calls serialize each
+    other's DMA (measured r2; re-measured r3 with the fused-cache-write
+    attention kernel — bs100 AR 5.39 with dense=xla vs 5.98 with both
+    kernels)."""
     legal = (
         C % 128 == 0
         and dtype in (jnp.bfloat16, jnp.float32)
@@ -336,7 +354,7 @@ def resolve_dense_backend(mode: str, *, batch: int, C: int, dtype) -> str:
         return "pallas" if legal else "xla"
     if mode == "xla":
         return "xla"
-    return "pallas" if (legal and batch < 150) else "xla"
+    return "pallas" if (legal and batch < 150 and attn_backend != "pallas") else "xla"
 
 
 # ---------------------------------------------------------------------------
@@ -799,7 +817,10 @@ def stack_step_unrolled(
         if not ((-(-t_max // 32) * 32 <= cache_T) or cache_T % 32 == 0):
             attn_backend = "mxu" if B >= 150 else "vpu"
     dense_backend = (
-        resolve_dense_backend(policy.dense, batch=B, C=C, dtype=x.dtype)
+        resolve_dense_backend(
+            policy.dense, batch=B, C=C, dtype=x.dtype,
+            attn_backend=attn_backend,
+        )
         if S == 1
         else "xla"
     )
@@ -914,11 +935,26 @@ def stack_step_unrolled(
                 # (alignment of the result is part of _pallas_attn_legal)
                 if q8_cache:
                     W = min(cache_T, -(-t_max // 32) * 32)
-                    y = _AK.decode_attention_q8(
-                        q[:, 0, :], k[:, 0, :], v[:, 0, :],
-                        kq_l, ks_l, vq_l, vs_l,
-                        cur_len, n_head, t_window=W,
-                    )[:, None, :]
+                    if cache_T % 32 == 0:
+                        # fused write: quantize + 4-buffer cache update
+                        # inside the kernel (the XLA-side version was
+                        # measured end-to-end neutral — the write cost ate
+                        # the read saving)
+                        y, kq_wr, ks_wr, vq_wr, vs_wr = (
+                            _AK.decode_attention_q8_update(
+                                q[:, 0, :], k[:, 0, :], v[:, 0, :],
+                                kq_l, ks_l, vq_l, vs_l,
+                                cur_len, n_head, t_window=W,
+                            )
+                        )
+                        y = y[:, None, :]
+                        k_wr = (kq_wr, ks_wr, vq_wr, vs_wr)  # sentinel
+                    else:
+                        y = _AK.decode_attention_q8(
+                            q[:, 0, :], k[:, 0, :], v[:, 0, :],
+                            kq_l, ks_l, vq_l, vs_l,
+                            cur_len, n_head, t_window=W,
+                        )[:, None, :]
                 elif cache_T % sublane_tile(k_l.dtype) == 0:
                     # fused in-kernel cache write (input_output_aliases):
                     # kills the XLA dynamic-update-slice whose tile
@@ -987,7 +1023,10 @@ def stack_step_unrolled(
             h2 = layer_norm(x2, lp["ln2"]["scale"], lp["ln2"]["bias"])
             m = _mm(gelu(_mm(h2, lp["mlp"]["w1"]) + lp["mlp"]["b1"], cfg.gelu), lp["mlp"]["w2"]) + lp["mlp"]["b2"]
             x = x2 + m
-        if q8_cache:
+        if q8_cache and k_wr is not None:
+            # the q8 kernel already quantized and wrote all four caches
+            new_caches.append(k_wr)
+        elif q8_cache:
             from rqvae_tpu.ops import attention_kernel as _AK
 
             kqn, ksn = _AK.quantize_kv(k.reshape(B * S, C), n_head)

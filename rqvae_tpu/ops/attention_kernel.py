@@ -494,6 +494,158 @@ def _decode_attn_kernel_q8(
     )
 
 
+def _quantize_row_in_kernel(x, seg, n_head):
+    """quantize_kv for one [BT, C] row inside the kernel — identical math
+    (fp32 absmax/127 clamp, per-lane fp32 divide, round-to-nearest-even)
+    so the in-kernel write is bit-equal to the XLA quantize+update path.
+    The per-head absmax uses static lane slices (hs-aligned); the scale
+    broadcast back to lanes rides the 0/1 seg matrix on the MXU."""
+    BT, C = x.shape
+    hs = C // n_head
+    x32 = x.astype(jnp.float32)
+    ax = jnp.abs(x32)
+    amax = jnp.concatenate(
+        [
+            jnp.max(ax[:, h * hs:(h + 1) * hs], axis=1, keepdims=True)
+            for h in range(n_head)
+        ],
+        axis=1,
+    )  # [BT, nh]
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    scale_lanes = jnp.dot(
+        scale, seg.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [BT, C] (seg is 0/1 -> exact per-lane scale)
+    qv = jnp.round(x32 / scale_lanes).astype(jnp.int8)
+    return qv, scale
+
+
+def _decode_attn_kernel_q8_update(
+    cur_len_ref, q_ref, k_new_ref, v_new_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+    seg_ref, y_ref, kq_upd_ref, ks_upd_ref, vq_upd_ref, vs_upd_ref,
+    *, n_head, t_max
+):
+    cur_len = cur_len_ref[0]
+    _attn_math_q8(
+        cur_len, q_ref[:], k_new_ref[:], v_new_ref[:], kq_ref[:],
+        ks_ref[:], vq_ref[:], vs_ref[:], seg_ref[:], y_ref,
+        n_head=n_head, t_max=t_max,
+    )
+    seg = seg_ref[:]
+    kq_new, ks_new = _quantize_row_in_kernel(k_new_ref[:], seg, n_head)
+    vq_new, vs_new = _quantize_row_in_kernel(v_new_ref[:], seg, n_head)
+    # int8 cache rows: 32-row tile window; scales: same window (bf16 tile 16
+    # divides 32)
+    start = (cur_len // 32) * 32
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+    is_new = row == (cur_len - start)
+    kq_upd_ref[:] = jnp.where(
+        is_new, kq_new[:, None, :], kq_ref[:, pl.dslice(start, 32), :]
+    )
+    vq_upd_ref[:] = jnp.where(
+        is_new, vq_new[:, None, :], vq_ref[:, pl.dslice(start, 32), :]
+    )
+    ks_upd_ref[:] = jnp.where(
+        is_new,
+        ks_new[:, None, :].astype(ks_upd_ref.dtype),
+        ks_ref[:, pl.dslice(start, 32), :],
+    )
+    vs_upd_ref[:] = jnp.where(
+        is_new,
+        vs_new[:, None, :].astype(vs_upd_ref.dtype),
+        vs_ref[:, pl.dslice(start, 32), :],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "b_tile", "t_window", "interpret")
+)
+def decode_attention_q8_update(
+    q: jax.Array,  # [B, C]
+    k_new: jax.Array,  # [B, C]
+    v_new: jax.Array,  # [B, C]
+    kq_cache: jax.Array,  # [B, T, C] int8 — DONATED (aliased)
+    ks_cache: jax.Array,  # [B, T, n_head] — DONATED
+    vq_cache: jax.Array,  # [B, T, C] int8 — DONATED
+    vs_cache: jax.Array,  # [B, T, n_head] — DONATED
+    cur_len: jax.Array,
+    n_head: int,
+    b_tile: int = 8,
+    t_window: int | None = None,
+    interpret: bool = False,
+):
+    """decode_attention_q8 + in-kernel row quantization and cache write.
+
+    The q8 cache was measured END-TO-END NEUTRAL with XLA-side
+    quantize+update (the per-position quantize/4x dynamic-update-slice
+    cost what the halved read saved); fusing both into the kernel removes
+    that cost the same way decode_attention_update does for bf16.
+    Returns (y, kq', ks', vq', vs') with all four caches updated in
+    place. Requires T % 32 == 0 and the window to cover cur_len."""
+    B, C = q.shape
+    T = kq_cache.shape[1]
+    W = T if t_window is None else min(t_window, T)
+    assert T % 32 == 0, f"int8 cache T={T} must be 32-row aligned"
+
+    hs = C // n_head
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 0) // hs
+        == jax.lax.broadcasted_iota(jnp.int32, (C, n_head), 1)
+    ).astype(jnp.float32)
+
+    grid = (pl.cdiv(B, b_tile),)
+    kernel = functools.partial(
+        _decode_attn_kernel_q8_update, n_head=n_head, t_max=W
+    )
+    y, kq2, ks2, vq2, vs2 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec((b_tile, W, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, W, n_head), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, W, C), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((b_tile, W, n_head), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((C, n_head), lambda i, *_: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_tile, C), lambda i, *_: (i, 0)),
+                pl.BlockSpec(
+                    (b_tile, 32, C), lambda i, s: (i, s[0] // 32, 0)
+                ),
+                pl.BlockSpec(
+                    (b_tile, 32, n_head), lambda i, s: (i, s[0] // 32, 0)
+                ),
+                pl.BlockSpec(
+                    (b_tile, 32, C), lambda i, s: (i, s[0] // 32, 0)
+                ),
+                pl.BlockSpec(
+                    (b_tile, 32, n_head), lambda i, s: (i, s[0] // 32, 0)
+                ),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, C), q.dtype),
+            jax.ShapeDtypeStruct(kq_cache.shape, kq_cache.dtype),
+            jax.ShapeDtypeStruct(ks_cache.shape, ks_cache.dtype),
+            jax.ShapeDtypeStruct(vq_cache.shape, vq_cache.dtype),
+            jax.ShapeDtypeStruct(vs_cache.shape, vs_cache.dtype),
+        ],
+        # operand indices include the scalar prefetch (0)
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(cur_len.reshape(1), q, k_new, v_new, kq_cache, ks_cache, vq_cache,
+      vs_cache, seg)
+    return y, kq2, ks2, vq2, vs2
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_head", "b_tile", "t_window", "interpret")
 )

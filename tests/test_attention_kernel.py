@@ -162,3 +162,40 @@ def test_decode_attention_update_matches_separate_write():
         vref = jax.lax.dynamic_update_slice(vc, vn[:, None, :], (0, cur, 0))
         np.testing.assert_array_equal(np.asarray(k2), np.asarray(kref))
         np.testing.assert_array_equal(np.asarray(v2), np.asarray(vref))
+
+
+def test_decode_attention_q8_update_matches_separate_path():
+    """The q8 fused-write kernel must return the same y as decode_attention_q8
+    and leave all four caches bit-equal to the XLA quantize_kv +
+    dynamic_update_slice path (same fp32 absmax/round math in-kernel)."""
+    from rqvae_tpu.ops.attention_kernel import decode_attention_q8_update
+
+    r = np.random.RandomState(11)
+    Br, Tc = 12, 32
+    q = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    kn = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    vn = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    kc = jnp.asarray(r.randn(Br, Tc, C).astype(np.float32))
+    vc = jnp.asarray(r.randn(Br, Tc, C).astype(np.float32))
+    kq, ks = jax.vmap(quantize_kv, in_axes=(1, None), out_axes=1)(kc, NH)
+    vq, vs = jax.vmap(quantize_kv, in_axes=(1, None), out_axes=1)(vc, NH)
+    ks, vs = ks.astype(jnp.bfloat16), vs.astype(jnp.bfloat16)
+    for cur in (9, 31):
+        cur_len = jnp.int32(cur)
+        y0 = decode_attention_q8(
+            q, kn, vn, kq, ks, vq, vs, cur_len, NH, interpret=True
+        )
+        y, kq2, ks2, vq2, vs2 = decode_attention_q8_update(
+            q, kn, vn, kq, ks, vq, vs, cur_len, NH, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y))
+        kqn, ksn = quantize_kv(kn, NH)
+        vqn, vsn = quantize_kv(vn, NH)
+        def upd(c, new):
+            return jax.lax.dynamic_update_slice(
+                c, new[:, None].astype(c.dtype), (0, cur, 0)
+            )
+        np.testing.assert_array_equal(np.asarray(kq2), np.asarray(upd(kq, kqn)))
+        np.testing.assert_array_equal(np.asarray(ks2), np.asarray(upd(ks, ksn)))
+        np.testing.assert_array_equal(np.asarray(vq2), np.asarray(upd(vq, vqn)))
+        np.testing.assert_array_equal(np.asarray(vs2), np.asarray(upd(vs, vsn)))

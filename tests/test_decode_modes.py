@@ -91,10 +91,10 @@ def test_decode_attention_matches_full_attention():
 
 
 def test_auto_dispatch_policy(monkeypatch):
-    """Pin the measured auto policy (COVERAGE.md round-2 perf notes): one
-    custom-call family per operating point — dense pallas < 150, pure XLA
-    150-300, attention pallas >= 300. On non-TPU backends everything
-    falls back to XLA."""
+    """Pin the measured auto policy (COVERAGE.md round-3 perf notes): the
+    fused-cache-write attention kernel wins at EVERY batch where legal, and
+    the dense kernels only engage when the attention stays on XLA. On
+    non-TPU backends everything falls back to XLA."""
     C, nh, dt = 1536, 24, jnp.bfloat16
     kw = dict(t_max=64, C=C, n_head=nh, dtype=dt, cache_T=64)
 
@@ -103,14 +103,27 @@ def test_auto_dispatch_policy(monkeypatch):
     assert M.resolve_dense_backend("auto", batch=100, C=C, dtype=dt) == "xla"
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    for batch, want_attn, want_dense in [
-        (100, "vpu", "pallas"), (200, "mxu", "xla"), (500, "pallas", "xla"),
-    ]:
-        assert M.resolve_attn_backend("auto", batch=batch, **kw) == want_attn
+    for batch in (100, 200, 500):
+        attn = M.resolve_attn_backend("auto", batch=batch, **kw)
+        assert attn == "pallas"
         assert (
-            M.resolve_dense_backend("auto", batch=batch, C=C, dtype=dt)
-            == want_dense
+            M.resolve_dense_backend(
+                "auto", batch=batch, C=C, dtype=dt, attn_backend=attn
+            )
+            == "xla"
         )
+    # when attention falls back to XLA (e.g. short windows), small batches
+    # still get the dense weight-streaming kernels
+    assert (
+        M.resolve_dense_backend(
+            "auto", batch=100, C=C, dtype=dt, attn_backend="vpu"
+        )
+        == "pallas"
+    )
+    # short cache windows (t_max < 32) keep the XLA attention crossover
+    kw16 = dict(t_max=16, C=C, n_head=nh, dtype=dt, cache_T=16)
+    assert M.resolve_attn_backend("auto", batch=100, **kw16) == "vpu"
+    assert M.resolve_attn_backend("auto", batch=200, **kw16) == "mxu"
     # tiny head caches never take the attention kernel (fall back by batch)
     assert (
         M.resolve_attn_backend(
