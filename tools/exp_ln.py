@@ -98,9 +98,9 @@ def main():
     bias = jnp.asarray(r.randn(C) * 0.1, jnp.float32)
     for B in batches:
         x = jnp.asarray(r.randn(B, C), jnp.bfloat16)
-        ref = np.asarray(layer_norm(x, scale, bias), np.float32)
+        ref = np.asarray(jax.jit(layer_norm)(x, scale, bias), np.float32)
         for name, fn in VARIANTS.items():
-            err = np.abs(np.asarray(fn(x, scale, bias), np.float32) - ref).max()
+            err = np.abs(np.asarray(jax.jit(fn)(x, scale, bias), np.float32) - ref).max()
 
             @jax.jit
             def chain(x):
