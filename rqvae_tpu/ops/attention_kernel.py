@@ -10,19 +10,24 @@ two heads per 128-lane register; general hs supported via the segment mask).
 Returns y [B, C]. The new token attends cache positions < cur_len plus
 itself (the sampler writes k/v into the cache separately).
 
-STATUS — SHIPPED for batch >= 300 via the auto dispatch policy
-(model.resolve_attn_backend; RQVAE_TPU_DECODE_ATTN='pallas' forces it where
-legal). History: the round-1 fp32 variant measured SLOWER than XLA
-(VPU-bound, 7.04 vs 5.77 ms/sample body-only at bs100) because the caller
-jnp.pad-ed the 98MB cache — a full copy per call. The round-2 rewrite is
-pad-free (ragged batch via boundary-block masking, phase windows as
-BlockSpec prefix reads) with bf16 compute and fp32 softmax: it streams the
-cache at ~740 GB/s (91% of the 819 GB/s paper peak) vs ~600 for XLA
-(tools/exp_pallas_attn.py) and wins end-to-end at bs500 (AR 4.94 -> 4.71);
-below bs~300 the decode loop sits at an aggregate-bandwidth equilibrium and
-the locally-faster kernel only shifts time into weight-prefetch waits, so
-the XLA paths stay the default there (measured policy table in
-model.resolve_attn_backend). Equivalence: tests/test_attention_kernel.py.
+STATUS — SHIPPED at EVERY batch where legal (auto dispatch,
+model.resolve_attn_backend; RQVAE_TPU_DECODE_ATTN overrides), in the
+`decode_attention_update` fused-cache-write form. History: the round-1
+fp32 variant measured SLOWER than XLA (VPU-bound, 7.04 vs 5.77 ms/sample
+body-only at bs100) because the caller jnp.pad-ed the 98MB cache — a full
+copy per call. The round-2 rewrite is pad-free (ragged batch via
+boundary-block masking, phase windows as BlockSpec prefix reads) with bf16
+compute and fp32 softmax: it streams the cache at ~740 GB/s (91% of the
+819 GB/s paper peak) vs ~600 for XLA (tools/exp_pallas_attn.py) — but as a
+READ-ONLY kernel it only won end-to-end at bs >= ~300 (below that the
+decode loop sits at an aggregate-bandwidth equilibrium and the local win
+shifts into weight-prefetch waits). Round 3 fused the KV-cache WRITE into
+the kernel (`decode_attention_update`, input_output_aliases — kills XLA's
+~96us/layer (8,128)-tile read-modify-write dynamic-update-slice), after
+which the kernel wins at every measured batch (AR vs best XLA ms/sample:
+bs100 5.39/6.08, bs200 3.87/4.92, bs500 3.71/4.94). The q8 variants
+additionally store the cache int8 with per-(token,head) scales.
+Equivalence: tests/test_attention_kernel.py.
 """
 
 from __future__ import annotations
