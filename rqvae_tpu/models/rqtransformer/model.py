@@ -223,6 +223,10 @@ class DecodePolicy(NamedTuple):
     # matrices (ops/attention_kernel.py q8 section). Opt-in — quantization
     # perturbs the sampled distribution (bounded by tests/test_decode_modes).
     kv_q8: bool = False
+    # run Pallas kernels in interpret mode (slow, any backend). NOT
+    # env-resolved: set only by CPU-mesh tests and multichip dryruns that
+    # must EXECUTE the kernel paths without a real TPU.
+    interpret: bool = False
 
 
 DEFAULT_POLICY = DecodePolicy()
@@ -279,7 +283,10 @@ def sublane_tile(dtype) -> int:
     return 16 if dtype == jnp.bfloat16 else 8
 
 
-def _pallas_attn_legal(t_max: int, C: int, n_head: int, dtype, cache_T: int) -> bool:
+def _pallas_attn_legal(
+    t_max: int, C: int, n_head: int, dtype, cache_T: int,
+    interpret: bool = False,
+) -> bool:
     """Whether ops/attention_kernel.decode_attention can serve this geometry.
 
     Beyond shape/dtype/backend constraints, the kernel's cache window
@@ -287,7 +294,8 @@ def _pallas_attn_legal(t_max: int, C: int, n_head: int, dtype, cache_T: int) -> 
     sublane-aligned or Mosaic rejects the block shape — guaranteed when the
     cache allocation is tile-aligned (the sampler rounds its unrolled cache
     T up; extra rows are masked by cur_len) or when the rounded window fits
-    inside the cache."""
+    inside the cache. `interpret` waives the TPU-backend requirement (CPU
+    tests / dryruns execute the kernel in interpret mode)."""
     sub = sublane_tile(dtype)
     w_aligned = (-(-t_max // sub) * sub <= cache_T) or (cache_T % sub == 0)
     return (
@@ -296,7 +304,7 @@ def _pallas_attn_legal(t_max: int, C: int, n_head: int, dtype, cache_T: int) -> 
         and C % 128 == 0
         and dtype in (jnp.bfloat16, jnp.float32)
         and w_aligned
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or interpret)
     )
 
 
@@ -310,13 +318,40 @@ def resolve_attn_backend(
     dtype,
     cache_T: int,
     stacked: bool = False,
+    mesh=None,
+    interpret: bool = False,
 ) -> str:
     """THE decode-attention policy table -> concrete backend
     ('vpu' | 'mxu' | 'pallas'). See the module-level policy notes for the
-    measurements behind each threshold."""
+    measurements behind each threshold.
+
+    With a tensor-parallel `mesh` the kernel runs PER SHARD under
+    shard_map (stack_step_unrolled), so legality and the vpu/mxu
+    crossovers apply to the per-device geometry: C and n_head divided
+    over the 'model' axis, batch over 'data'. Non-dividing geometries
+    make the kernel illegal (the shard_map specs would not partition)."""
     if mode in ("vpu", "mxu"):
         return mode
-    legal = (not stacked) and _pallas_attn_legal(t_max, C, n_head, dtype, cache_T)
+    divides = True
+    if mesh is not None:
+        from rqvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        n_model = mesh.shape.get(MODEL_AXIS, 1)
+        n_data = mesh.shape.get(DATA_AXIS, 1)
+        divides = (
+            n_head % n_model == 0
+            and C % n_model == 0
+            and batch % n_data == 0
+        )
+        if divides:
+            C //= n_model
+            n_head //= n_model
+        batch = max(1, batch // n_data)
+    legal = (
+        (not stacked)
+        and divides
+        and _pallas_attn_legal(t_max, C, n_head, dtype, cache_T, interpret)
+    )
     if mode == "pallas" and legal:
         return "pallas"
     if stacked:
@@ -688,6 +723,51 @@ def _head_seg(C: int, n_head: int, dtype):
     )
 
 
+def _pallas_attn_sharded(
+    q2, k2, v2, k_l, v_l, cur_len, n_head, W, mesh, interpret, fused
+):
+    """Run the Pallas decode-attention kernel per tensor-parallel shard.
+
+    GSPMD has no partition rule for a pallas_call, so the TP sampler drops
+    into shard_map here: each device gets its Megatron head group —
+    q/k/v rows [B_local, C/tp], cache block [B_local, T, C/tp] — which is
+    the kernel's native layout (heads never mix; the fused cache write
+    aliases the local block in place). cur_len is replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from rqvae_tpu.ops import attention_kernel as _AK
+    from rqvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    nh_local = n_head // n_model
+    row = P(DATA_AXIS, MODEL_AXIS)
+    cch = P(DATA_AXIS, None, MODEL_AXIS)
+    in_specs = (row, row, row, cch, cch, P())
+
+    if fused:
+
+        def f(qs, ks, vs, kl, vl, cl):
+            return _AK.decode_attention_update(
+                qs, ks, vs, kl, vl, cl, nh_local,
+                t_window=W, interpret=interpret,
+            )
+
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=(row, cch, cch),
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )(q2, k2, v2, k_l, v_l, cur_len)
+
+    def f(qs, ks, vs, kl, vl, cl):
+        return _AK.decode_attention(
+            qs, ks, vs, kl, vl, cl, nh_local, t_window=W, interpret=interpret
+        )
+
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=row,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )(q2, k2, v2, k_l, v_l, cur_len)
+
+
 def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head, mode="auto", v_mode="vpu"):
     """S=1 attention against one layer's [B, T, C] cache (same math as
     stack_step's attention_decode).
@@ -779,13 +859,23 @@ def stack_step_unrolled(
     cfg: StackConfig,
     window: Optional[int] = None,  # static: attention reads cache[:window]
     policy: DecodePolicy = DEFAULT_POLICY,
+    mesh=None,  # tensor-parallel Mesh: Pallas attention runs per-shard
 ):
     """Unrolled cached decode/prefill step. Semantically identical to
     `stack_step` on the stacked cache (asserted in tests); faster at decode
     because no per-layer cache slices are materialised. A static `window`
     (>= cur_len + 1 for every step it serves) bounds how much of each cache
     attention streams — the sampler phases its position scan so early
-    positions read a fraction of the full cache."""
+    positions read a fraction of the full cache.
+
+    Under a tensor-parallel `mesh` (params Megatron-sharded over 'model')
+    the Pallas attention kernel — an opaque custom call GSPMD cannot
+    partition — is wrapped in shard_map over (data, model): each device
+    runs the fused-write kernel on its own n_head/tp heads ([B_local, T,
+    C/tp] cache block), which is exactly the kernel's native layout since
+    heads never mix. Dense stays on XLA under a mesh (the weight-streaming
+    kernels would need their own partition rule, and measured policy keeps
+    one custom-call family anyway)."""
     if not layer_params:  # 0-layer stacks (VQGAN-equivalent d=1: no head)
         return x, caches
     B, S, C = x.shape
@@ -809,19 +899,23 @@ def stack_step_unrolled(
     attn_backend = resolve_attn_backend(
         policy.attn, batch=B, t_max=t_max, C=C, n_head=n_head,
         dtype=jnp.bfloat16 if q8_cache else caches[0][0].dtype,
-        cache_T=cache_T,
+        cache_T=cache_T, mesh=mesh, interpret=policy.interpret,
     )
     if q8_cache and attn_backend == "pallas":
         # the int8 cache block needs the int8 sublane tile (32 rows); fall
         # back to the XLA-dequant path when the allocation is not aligned
         if not ((-(-t_max // 32) * 32 <= cache_T) or cache_T % 32 == 0):
             attn_backend = "mxu" if B >= 150 else "vpu"
+    assert not (q8_cache and mesh is not None), (
+        "kv_q8 is not wired for tensor-parallel meshes "
+        "(sampling._tp_safe_policy disables it)"
+    )
     dense_backend = (
         resolve_dense_backend(
             policy.dense, batch=B, C=C, dtype=x.dtype,
             attn_backend=attn_backend,
         )
-        if S == 1
+        if S == 1 and mesh is None
         else "xla"
     )
     dense_mode = dense_backend == "pallas"
@@ -945,6 +1039,7 @@ def stack_step_unrolled(
                                 q[:, 0, :], k[:, 0, :], v[:, 0, :],
                                 kq_l, ks_l, vq_l, vs_l,
                                 cur_len, n_head, t_window=W,
+                                interpret=policy.interpret,
                             )
                         )
                         y = y[:, None, :]
@@ -954,6 +1049,7 @@ def stack_step_unrolled(
                             q[:, 0, :], k[:, 0, :], v[:, 0, :],
                             kq_l, ks_l, vq_l, vs_l,
                             cur_len, n_head, t_window=W,
+                            interpret=policy.interpret,
                         )[:, None, :]
                 elif cache_T % sublane_tile(k_l.dtype) == 0:
                     # fused in-kernel cache write (input_output_aliases):
@@ -962,18 +1058,34 @@ def stack_step_unrolled(
                     # AR — the bs500 trace decomposition in COVERAGE.md)
                     sub = sublane_tile(k_l.dtype)
                     W = min(k_l.shape[1], -(-t_max // sub) * sub)
-                    y, k_wr, v_wr = _AK.decode_attention_update(
-                        q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
-                        cur_len, n_head, t_window=W,
-                    )
+                    if mesh is not None:
+                        y, k_wr, v_wr = _pallas_attn_sharded(
+                            q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
+                            cur_len, n_head, W, mesh, policy.interpret,
+                            fused=True,
+                        )
+                    else:
+                        y, k_wr, v_wr = _AK.decode_attention_update(
+                            q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
+                            cur_len, n_head, t_window=W,
+                            interpret=policy.interpret,
+                        )
                     y = y[:, None, :]
                 else:
                     sub = sublane_tile(k_l.dtype)
                     W = min(k_l.shape[1], -(-t_max // sub) * sub)
-                    y = _AK.decode_attention(
-                        q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
-                        cur_len, n_head, t_window=W,
-                    )[:, None, :]
+                    if mesh is not None:
+                        y = _pallas_attn_sharded(
+                            q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
+                            cur_len, n_head, W, mesh, policy.interpret,
+                            fused=False,
+                        )[:, None, :]
+                    else:
+                        y = _AK.decode_attention(
+                            q[:, 0, :], k[:, 0, :], v[:, 0, :], k_l, v_l,
+                            cur_len, n_head, t_window=W,
+                            interpret=policy.interpret,
+                        )[:, None, :]
             else:
                 y = _decode_attention_xla(
                     q, k, v, k_l[:, :t_max], v_l[:, :t_max], cur_len, n_head,

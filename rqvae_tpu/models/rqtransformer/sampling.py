@@ -167,24 +167,19 @@ def _tp_mesh_of(params):
 
 
 def _tp_safe_policy(policy: M.DecodePolicy, mesh, batch_size: int) -> M.DecodePolicy:
-    """Pin the decode to GSPMD-partitionable XLA backends for tensor-parallel
-    sampling. The Pallas decode kernels (attn='pallas', dense='pallas'/'mega')
-    are opaque custom calls with no SPMD partitioning rule — under a
-    model-sharded mesh XLA cannot split their head/hidden dims over ICI, so
-    'auto' must never resolve to them. The measured vpu/mxu attention
-    crossover (B~150, model.py decode-dispatch-policy table) was taken
-    per-chip, so it is applied to the PER-DEVICE batch B / mesh data size."""
-    from rqvae_tpu.parallel.mesh import DATA_AXIS
+    """Restrict the decode policy to what tensor-parallel sampling supports.
 
-    n_data = mesh.shape.get(DATA_AXIS, 1)
-    b_local = max(1, batch_size // max(1, n_data))
-    attn = policy.attn
-    if attn in ("auto", "pallas"):
-        attn = "vpu" if b_local < 150 else "mxu"
+    The Pallas ATTENTION kernel runs per-shard under shard_map
+    (model._pallas_attn_sharded) — 'auto'/'pallas' stay, and
+    resolve_attn_backend applies legality and the vpu/mxu crossovers to
+    the PER-DEVICE geometry (C and heads / model axis, batch / data axis).
+    The DENSE kernels and the megakernel stay opaque custom calls with no
+    partition rule (their weight operands are the sharded tensors), so
+    dense is pinned to XLA. kv_q8 is off: the q8 scale tensors' [B, T,
+    n_head] layout has no clean model-axis sharding, and the XLA fallback
+    re-materializes the bf16 cache every step — strictly worse than bf16."""
     dense = policy.dense if policy.dense not in ("auto", "pallas", "mega") else "xla"
-    # kv_q8 only pays inside the Pallas kernel (the XLA fallback re-
-    # materializes the bf16 cache every step — strictly worse than bf16)
-    return policy._replace(attn=attn, dense=dense, kv_q8=False)
+    return policy._replace(dense=dense, kv_q8=False)
 
 
 def sample(
@@ -225,15 +220,16 @@ def sample(
         # tensor-parallel serving: params Megatron-sharded over 'model'
         # (parallel/mesh.py::transformer_param_specs) — GSPMD partitions the
         # whole AR scan (head-sharded KV caches, psum after proj/mlp-out,
-        # all-gather of the vocab-split logits before the draw), but only
-        # over XLA ops; see _tp_safe_policy.
+        # all-gather of the vocab-split logits before the draw); the Pallas
+        # attention kernel runs per-shard via shard_map, everything else
+        # stays XLA (see _tp_safe_policy).
         policy = _tp_safe_policy(policy, tp_mesh, batch_size)
     return _sample(
         params, config, rng, batch_size, cond, vq_state, vq_config,
         temperature,
         tuple(top_k) if isinstance(top_k, (list, tuple)) else top_k,
         tuple(top_p) if isinstance(top_p, (list, tuple)) else top_p,
-        dtype, policy,
+        dtype, policy, tp_mesh,
     )
 
 
@@ -248,6 +244,7 @@ def sample(
         "top_p",
         "dtype",
         "policy",
+        "mesh",
     ),
 )
 def _sample(
@@ -263,6 +260,7 @@ def _sample(
     top_p=None,
     dtype=jnp.float32,
     policy: M.DecodePolicy = M.DEFAULT_POLICY,
+    mesh=None,  # tensor-parallel Mesh (static): Pallas attn via shard_map
 ) -> jax.Array:
     H, W, D = config.block_size
     HW = H * W
@@ -336,16 +334,32 @@ def _sample(
             body_caches = M.init_unrolled_kv_cache_q8(config.body, B, t_alloc)
         else:
             body_caches = M.init_unrolled_kv_cache(config.body, B, t_alloc, dtype)
+        if mesh is not None:
+            # pin the TP cache layout to the shard_map specs of the Pallas
+            # attention ([B@data, T, C@model]) so GSPMD never inserts a
+            # reshard at the kernel boundary; this is also what
+            # propagation picks for the XLA fallback (k/v come out of
+            # column-parallel projections)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from rqvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            cache_sh = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
+            body_caches = jax.tree.map(
+                lambda c: jax.lax.with_sharding_constraint(c, cache_sh),
+                body_caches,
+            )
 
         def body_step(x, caches, cur_len, window=None):
             return M.stack_step_unrolled(
                 body_lps, x, caches, cur_len, config.body, window=window,
-                policy=policy,
+                policy=policy, mesh=mesh,
             )
 
         def head_step(row, caches, cur_len):
             return M.stack_step_unrolled(
-                head_lps, row, caches, cur_len, config.head, policy=policy
+                head_lps, row, caches, cur_len, config.head, policy=policy,
+                mesh=mesh,
             )
 
         def init_head_caches():
@@ -452,7 +466,7 @@ def _sample(
     bounds = [round(n_steps * i / n_phases) for i in range(n_phases + 1)]
     if use_unrolled and M.resolve_attn_backend(
         policy.attn, batch=B, t_max=t_max, C=C, n_head=config.body.n_head,
-        dtype=dtype, cache_T=t_alloc,
+        dtype=dtype, cache_T=t_alloc, mesh=mesh, interpret=policy.interpret,
     ) == "pallas":
         # the Pallas decode-attention kernel rounds its cache window up to
         # the sublane tile; snap interior phase bounds down so each phase's

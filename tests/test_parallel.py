@@ -61,8 +61,11 @@ def test_tensor_parallel_sampling_matches_unsharded(setup):
     'data'), the WHOLE jitted AR sampling scan partitioned by GSPMD —
     head-sharded KV caches, psum after row-parallel matmuls, vocab-split
     classifier gathered before the draw. Same keys -> identical codes.
-    A Pallas-selecting policy must be coerced to XLA backends
-    (sampling._tp_safe_policy): Pallas custom calls have no SPMD rule."""
+    At this tiny geometry the Pallas kernel is illegal per shard
+    (C/tp = 16 is no lane multiple), so a Pallas-forcing policy must fall
+    back to the XLA attention formulations, and dense='pallas' must be
+    pinned to XLA by sampling._tp_safe_policy (no SPMD rule for the dense
+    custom calls)."""
     config, params, vq_state, vq_config = setup
     B = 8
     cond = jnp.arange(B, dtype=jnp.int32) % 8
@@ -252,3 +255,52 @@ def test_stage1_full_step_sharded_equals_unsharded():
     lb = jax.tree.leaves(ref_state.params)
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_tensor_parallel_sampling_uses_pallas_kernel_per_shard():
+    """TP serving with the Pallas decode-attention kernel: when the
+    per-shard geometry is legal (C/tp a lane multiple, heads divide the
+    'model' axis), the sampler runs the fused-write kernel inside
+    shard_map (model._pallas_attn_sharded) instead of falling back to the
+    XLA formulations — each device streams its own [B_local, T, C/tp]
+    cache block. Executed here in interpret mode on the 2x4 CPU mesh and
+    compared bit-exactly against the same kernel on one device."""
+    arch = dict(
+        type="rq-transformer", vocab_size=64, block_size=[6, 6, 1],
+        embed_dim=512, input_embed_dim=0, shared_tok_emb=False,
+        shared_cls_emb=False, input_emb_vqvae=False, head_emb_vqvae=False,
+        cumsum_depth_ctx=False, vocab_size_cond=8, block_size_cond=1,
+        body={"n_layer": 2, "block": {"n_head": 8}},
+        head={"n_layer": 1, "block": {"n_head": 8}},
+    )
+    config = TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
+    params = M.init_transformer_params(jax.random.PRNGKey(0), config)
+    B = 16
+    cond = jnp.arange(B, dtype=jnp.int32) % 8
+    policy = M.DecodePolicy(attn="pallas", unroll=True, interpret=True)
+
+    # the per-shard geometry must be kernel-legal, and the resolver must
+    # actually pick the kernel under the mesh
+    mesh = mesh_lib.create_mesh(2, 4)
+    t_max = config.block_size_cond + 36 - 1
+    t_alloc = -(-t_max // 8) * 8  # fp32 sublane tile
+    assert M.resolve_attn_backend(
+        "pallas", batch=B, t_max=t_max, C=512, n_head=8,
+        dtype=jnp.float32, cache_T=t_alloc, mesh=mesh, interpret=True,
+    ) == "pallas"
+
+    codes_single = S.sample(
+        params, config, jax.random.PRNGKey(2), B, cond=cond,
+        top_k=16, policy=policy,
+    )
+
+    params_tp = mesh_lib.shard_pytree(
+        params, mesh_lib.transformer_param_specs(params), mesh
+    )
+    cond_sh = jax.device_put(cond, NamedSharding(mesh, P("data")))
+    with mesh:
+        codes_tp = S.sample(
+            params_tp, config, jax.random.PRNGKey(2), B, cond=cond_sh,
+            top_k=16, policy=policy,
+        )
+    np.testing.assert_array_equal(np.asarray(codes_single), np.asarray(codes_tp))
