@@ -521,6 +521,7 @@ def stack_step(
     cfg: StackConfig,
     window: Optional[int] = None,  # static: read only cache[:window] (KV BW)
     attn_mode: str = "auto",  # policy.attn ('pallas' falls back to XLA here)
+    mesh=None,  # tensor-parallel Mesh: crossovers apply per-device
 ) -> tuple[jax.Array, KVCache]:
     """One cached decode/prefill step for the whole stacked layer scan.
 
@@ -555,7 +556,7 @@ def stack_step(
         pushes the VPU score stream past its ~290 GB/s ceiling)."""
         mode = resolve_attn_backend(
             attn_mode, batch=B, t_max=t_max, C=C, n_head=n_head,
-            dtype=k_l.dtype, cache_T=full_t_max, stacked=True,
+            dtype=k_l.dtype, cache_T=full_t_max, stacked=True, mesh=mesh,
         )
         if mode == "mxu":
             seg = _head_seg(C, n_head, k_l.dtype)
@@ -742,28 +743,17 @@ def _pallas_attn_sharded(
     nh_local = n_head // n_model
     row = P(DATA_AXIS, MODEL_AXIS)
     cch = P(DATA_AXIS, None, MODEL_AXIS)
-    in_specs = (row, row, row, cch, cch, P())
-
-    if fused:
-
-        def f(qs, ks, vs, kl, vl, cl):
-            return _AK.decode_attention_update(
-                qs, ks, vs, kl, vl, cl, nh_local,
-                t_window=W, interpret=interpret,
-            )
-
-        return jax.shard_map(
-            f, mesh=mesh, in_specs=in_specs, out_specs=(row, cch, cch),
-            check_vma=False,  # pallas_call outputs carry no vma metadata
-        )(q2, k2, v2, k_l, v_l, cur_len)
+    kernel = _AK.decode_attention_update if fused else _AK.decode_attention
 
     def f(qs, ks, vs, kl, vl, cl):
-        return _AK.decode_attention(
+        return kernel(
             qs, ks, vs, kl, vl, cl, nh_local, t_window=W, interpret=interpret
         )
 
     return jax.shard_map(
-        f, mesh=mesh, in_specs=in_specs, out_specs=row,
+        f, mesh=mesh,
+        in_specs=(row, row, row, cch, cch, P()),
+        out_specs=(row, cch, cch) if fused else row,
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )(q2, k2, v2, k_l, v_l, cur_len)
 

@@ -166,13 +166,14 @@ def _tp_mesh_of(params):
     return None
 
 
-def _tp_safe_policy(policy: M.DecodePolicy, mesh, batch_size: int) -> M.DecodePolicy:
+def _tp_safe_policy(policy: M.DecodePolicy) -> M.DecodePolicy:
     """Restrict the decode policy to what tensor-parallel sampling supports.
 
     The Pallas ATTENTION kernel runs per-shard under shard_map
     (model._pallas_attn_sharded) — 'auto'/'pallas' stay, and
-    resolve_attn_backend applies legality and the vpu/mxu crossovers to
-    the PER-DEVICE geometry (C and heads / model axis, batch / data axis).
+    resolve_attn_backend (which receives the mesh at every decode call
+    site) applies legality and the vpu/mxu crossovers to the PER-DEVICE
+    geometry (C and heads / model axis, batch / data axis).
     The DENSE kernels and the megakernel stay opaque custom calls with no
     partition rule (their weight operands are the sharded tensors), so
     dense is pinned to XLA. kv_q8 is off: the q8 scale tensors' [B, T,
@@ -223,7 +224,7 @@ def sample(
         # all-gather of the vocab-split logits before the draw); the Pallas
         # attention kernel runs per-shard via shard_map, everything else
         # stays XLA (see _tp_safe_policy).
-        policy = _tp_safe_policy(policy, tp_mesh, batch_size)
+        policy = _tp_safe_policy(policy)
     return _sample(
         params, config, rng, batch_size, cond, vq_state, vq_config,
         temperature,
@@ -376,13 +377,13 @@ def _sample(
         def body_step(x, caches, cur_len, window=None):
             return M.stack_step(
                 params["body"], x, caches, cur_len, config.body, window=window,
-                attn_mode=policy.attn,
+                attn_mode=policy.attn, mesh=mesh,
             )
 
         def head_step(row, caches, cur_len):
             return M.stack_step(
                 params["head"], row, caches, cur_len, config.head,
-                attn_mode=policy.attn,
+                attn_mode=policy.attn, mesh=mesh,
             )
 
         def init_head_caches():
