@@ -367,7 +367,8 @@ def resolve_attn_backend(
 
 
 def resolve_dense_backend(
-    mode: str, *, batch: int, C: int, dtype, attn_backend: str = "vpu"
+    mode: str, *, batch: int, C: int, dtype, attn_backend: str = "vpu",
+    interpret: bool = False,
 ) -> str:
     """Dense-half policy table -> 'xla' | 'pallas' (weight-streaming
     kernels, ops/decode_layer_kernel.py) | 'mega' (whole-layer fused
@@ -381,7 +382,7 @@ def resolve_dense_backend(
     legal = (
         C % 128 == 0
         and dtype in (jnp.bfloat16, jnp.float32)
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or interpret)
     )
     if mode == "mega":
         return "mega" if legal else "xla"
@@ -903,7 +904,7 @@ def stack_step_unrolled(
     dense_backend = (
         resolve_dense_backend(
             policy.dense, batch=B, C=C, dtype=x.dtype,
-            attn_backend=attn_backend,
+            attn_backend=attn_backend, interpret=policy.interpret,
         )
         if S == 1 and mesh is None
         else "xla"
@@ -941,7 +942,7 @@ def stack_step_unrolled(
                 lp["mlp"]["w1"], lp["mlp"]["b1"],
                 lp["mlp"]["w2"], lp["mlp"]["b2"],
                 n_head=n_head, t_window=W, t_chunk=sub,
-                gelu_version=cfg.gelu,
+                gelu_version=cfg.gelu, interpret=policy.interpret,
             )
             new_caches.append(
                 (
@@ -993,12 +994,13 @@ def stack_step_unrolled(
                 qkv = _DK.fused_ln_qkv_q8(
                     x[:, 0, :], lp["ln1"]["scale"], lp["ln1"]["bias"],
                     lp["attn"]["wqkv"].q, lp["attn"]["wqkv"].scale,
-                    lp["attn"]["bqkv"],
+                    lp["attn"]["bqkv"], interpret=policy.interpret,
                 )[:, None, :]
             else:
                 qkv = _DK.fused_ln_qkv(
                     x[:, 0, :], lp["ln1"]["scale"], lp["ln1"]["bias"],
                     lp["attn"]["wqkv"], lp["attn"]["bqkv"],
+                    interpret=policy.interpret,
                 )[:, None, :]
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
@@ -1109,7 +1111,7 @@ def stack_step_unrolled(
                 lp["ln2"]["scale"], lp["ln2"]["bias"],
                 lp["mlp"]["w1"].q, lp["mlp"]["w1"].scale, lp["mlp"]["b1"],
                 lp["mlp"]["w2"].q, lp["mlp"]["w2"].scale, lp["mlp"]["b2"],
-                gelu_version=cfg.gelu,
+                gelu_version=cfg.gelu, interpret=policy.interpret,
             )[:, None, :]
         elif dense_ok:
             x = _DK.fused_proj_mlp(
@@ -1118,7 +1120,7 @@ def stack_step_unrolled(
                 lp["ln2"]["scale"], lp["ln2"]["bias"],
                 lp["mlp"]["w1"], lp["mlp"]["b1"],
                 lp["mlp"]["w2"], lp["mlp"]["b2"],
-                gelu_version=cfg.gelu,
+                gelu_version=cfg.gelu, interpret=policy.interpret,
             )[:, None, :]
         else:
             x2 = x + (_mm(y, lp["attn"]["wo"]) + lp["attn"]["bo"])

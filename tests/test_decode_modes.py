@@ -333,3 +333,61 @@ def test_sample_kv_q8_stacked_path_warns_and_ignores():
             policy=M.DecodePolicy(unroll=False, kv_q8=True),
         )
     assert out.shape == (4, 2, 2, 2)
+
+
+def test_dense_kernel_dispatch_executes_on_cpu_interpret():
+    """The shipped dense weight-streaming dispatch (policy.dense='pallas':
+    model.py dense_ok branch -> fused_ln_qkv + fused_proj_mlp, q8 variants
+    for fully-quantized layers) EXECUTES here in interpret mode and matches
+    the XLA formulation. The kernels themselves are pinned by
+    tests/test_decode_layer_kernel.py; this pins the dispatch plumbing,
+    which previously only TPU runs executed end-to-end."""
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+    arch = dict(
+        type="rq-transformer", vocab_size=32, block_size=[4, 4, 2],
+        embed_dim=128, input_embed_dim=16, shared_tok_emb=True,
+        shared_cls_emb=True, input_emb_vqvae=False, head_emb_vqvae=False,
+        cumsum_depth_ctx=True, vocab_size_cond=4, block_size_cond=1,
+        body={"n_layer": 2, "block": {"n_head": 2}},
+        head={"n_layer": 1, "block": {"n_head": 2}},
+    )
+    config = TransformerConfig.create(
+        augment_arch_defaults(Config(arch)).to_dict()
+    )
+    params = M.init_transformer_params(jax.random.PRNGKey(0), config)
+    B, T = 4, 24  # fp32 sublane tile multiple
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, 128), jnp.float32)
+    cur_len = jnp.int32(5)
+
+    xla_pol = M.DecodePolicy(attn="vpu", dense="xla", unroll=True)
+    dk_pol = M.DecodePolicy(
+        attn="vpu", dense="pallas", unroll=True, interpret=True
+    )
+    assert M.resolve_dense_backend(
+        "pallas", batch=B, C=128, dtype=jnp.float32, interpret=True
+    ) == "pallas"
+
+    for quantize in (False, True):
+        stack = params["body"]
+        if quantize:
+            stack = M.quantize_stack_params(stack)
+        lps = M.split_layer_params(stack, config.body)
+        if quantize:
+            # fully-quantized layers must route to the q8 kernels
+            assert isinstance(lps[0]["attn"]["wqkv"], M.QuantizedWeight)
+        caches = M.init_unrolled_kv_cache(config.body, B, T, jnp.float32)
+        y0, c0 = M.stack_step_unrolled(
+            lps, x, caches, cur_len, config.body, policy=xla_pol
+        )
+        y1, c1 = M.stack_step_unrolled(
+            lps, x, caches, cur_len, config.body, policy=dk_pol
+        )
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y0), rtol=2e-4, atol=2e-4,
+            err_msg=f"dense kernel path diverged (quantize={quantize})",
+        )
+        for (k0, v0), (k1, v1) in zip(c0, c1):
+            np.testing.assert_allclose(np.asarray(k1), np.asarray(k0), atol=2e-4)
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=2e-4)
