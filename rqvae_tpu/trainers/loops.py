@@ -19,7 +19,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rqvae_tpu.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from rqvae_tpu.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+    wait_for_checkpoints,
+)
 from rqvae_tpu.data.loader import DataLoader
 from rqvae_tpu.models.rqvae.model import RQVAE
 from rqvae_tpu.trainers import trainer_stage1 as t1
@@ -249,15 +254,19 @@ class Stage1Trainer:
         self.logger.info("ep:%d %s %s", epoch, mode, summary.print_line())
 
     def save_ckpt(self, epoch: int):
-        ckpt_dir = os.path.join(self.config.result_path, "ckpt")
-        path = save_checkpoint(ckpt_dir, self.state, epoch)
         # weights-only checkpoint for downstream loading (stage-2 / sampling
-        # / rFID), analogous to the reference's state_dict entry
+        # / rFID), analogous to the reference's state_dict entry. Saved
+        # FIRST (it is small), then the full train state asynchronously —
+        # its multi-GB write overlaps the next epoch (AsyncCheckpointer
+        # serializes consecutive saves, so small-then-big minimizes the
+        # blocking prefix).
         weights = {"params": self.state.params, "codebook": self.state.codebook}
         weights_dir = os.path.join(self.config.result_path, "weights")
-        save_checkpoint(weights_dir, weights, epoch)
+        save_checkpoint(weights_dir, weights, epoch, block=False)
         _write_config_beside(weights_dir, self.config)
-        self.logger.info("epoch %d: checkpoint saved at %s", epoch, path)
+        ckpt_dir = os.path.join(self.config.result_path, "ckpt")
+        path = save_checkpoint(ckpt_dir, self.state, epoch, block=False)
+        self.logger.info("epoch %d: checkpoint saving at %s", epoch, path)
 
     def maybe_resume(self):
         ckpt_dir = os.path.join(self.config.result_path, "ckpt")
@@ -283,6 +292,7 @@ class Stage1Trainer:
             if epoch % save_freq == save_freq - 1:
                 self.save_ckpt(epoch)
             self.logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+        wait_for_checkpoints()  # async writes must be durable before return
 
 
 class Stage2Trainer:
@@ -373,15 +383,17 @@ class Stage2Trainer:
         return accm.get_summary()
 
     def save_ckpt(self, epoch: int):
-        ckpt_dir = os.path.join(self.config.result_path, "ckpt")
-        path = save_checkpoint(ckpt_dir, self.state, epoch)
+        # small weights snapshot first, then the full state async (see the
+        # stage-1 save_ckpt note)
         weights = {"params": self.state.params}
         if self.state.ema_params is not None:
             weights["ema_params"] = self.state.ema_params
         weights_dir = os.path.join(self.config.result_path, "weights")
-        save_checkpoint(weights_dir, weights, epoch)
+        save_checkpoint(weights_dir, weights, epoch, block=False)
         _write_config_beside(weights_dir, self.config)
-        self.logger.info("epoch %d: checkpoint saved at %s", epoch, path)
+        ckpt_dir = os.path.join(self.config.result_path, "ckpt")
+        path = save_checkpoint(ckpt_dir, self.state, epoch, block=False)
+        self.logger.info("epoch %d: checkpoint saving at %s", epoch, path)
 
     def maybe_resume(self):
         ckpt_dir = os.path.join(self.config.result_path, "ckpt")
@@ -406,3 +418,4 @@ class Stage2Trainer:
                 self.logger.info("ep:%d valid %s", epoch, vs.print_line())
             if epoch % save_freq == save_freq - 1:
                 self.save_ckpt(epoch)
+        wait_for_checkpoints()  # async writes must be durable before return

@@ -83,3 +83,20 @@ def test_make_grid():
     grid = make_grid(imgs, nrow=2, padding=1)
     assert grid.shape == (2 * 9 + 1, 2 * 9 + 1, 3)
     np.testing.assert_allclose(grid[1:9, 1:9], imgs[0])
+
+    def test_async_save_restores_after_wait(self, tmp_path):
+        """block=False returns before the write is durable; restore (which
+        waits for pending commits) and wait_for_checkpoints must both see
+        the finished files — the trainers save per-epoch with block=False
+        so the multi-GB state write overlaps the next epoch."""
+        from rqvae_tpu.checkpoint import wait_for_checkpoints
+
+        state = {"params": {"w": jnp.ones((4, 4), jnp.float32) * 3}}
+        d = str(tmp_path / "ckpt_async")
+        save_checkpoint(d, state, 2, block=False)
+        target = jax.tree.map(jnp.zeros_like, state)
+        restored = restore_checkpoint(d, target)  # waits internally
+        np.testing.assert_allclose(np.asarray(restored["params"]["w"]), 3.0)
+        save_checkpoint(d, state, 3, block=False)
+        wait_for_checkpoints()
+        assert latest_step(d) == 3
