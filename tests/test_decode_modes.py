@@ -391,3 +391,64 @@ def test_dense_kernel_dispatch_executes_on_cpu_interpret():
         for (k0, v0), (k1, v1) in zip(c0, c1):
             np.testing.assert_allclose(np.asarray(k1), np.asarray(k0), atol=2e-4)
             np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), atol=2e-4)
+
+
+def test_q8_cache_pallas_dispatch_executes_on_cpu_interpret():
+    """The kv_q8 Pallas dispatch in stack_step_unrolled (the fused
+    in-kernel quantize+write decode_attention_q8_update branch for
+    32-row-aligned caches, and the XLA-dequant fallback for unaligned
+    ones) EXECUTES here in interpret mode and matches the XLA-dequant
+    formulation. The kernels are pinned in tests/test_attention_kernel.py;
+    this pins the dispatch plumbing, previously TPU-only."""
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+    arch = dict(
+        type="rq-transformer", vocab_size=32, block_size=[4, 4, 2],
+        embed_dim=128, input_embed_dim=16, shared_tok_emb=True,
+        shared_cls_emb=True, input_emb_vqvae=False, head_emb_vqvae=False,
+        cumsum_depth_ctx=True, vocab_size_cond=4, block_size_cond=1,
+        body={"n_layer": 2, "block": {"n_head": 2}},
+        head={"n_layer": 1, "block": {"n_head": 2}},
+    )
+    config = TransformerConfig.create(
+        augment_arch_defaults(Config(arch)).to_dict()
+    )
+    params = M.init_transformer_params(jax.random.PRNGKey(0), config)
+    lps = M.split_layer_params(params["body"], config.body)
+    B = 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, 128), jnp.float32)
+
+    xla_pol = M.DecodePolicy(attn="vpu", unroll=True)
+    pk_pol = M.DecodePolicy(attn="pallas", unroll=True, interpret=True)
+
+    for T, fused in ((64, True), (40, False)):
+        caches = M.init_unrolled_kv_cache_q8(config.body, B, T)
+        # pre-populate a few rows so attention reads non-trivial history
+        pre, caches = M.stack_step_unrolled(
+            lps, jnp.tile(x, (1, 3, 1)), caches, jnp.int32(0),
+            config.body, policy=xla_pol,
+        )
+        cur_len = jnp.int32(3)
+        y0, c0 = M.stack_step_unrolled(
+            lps, x, caches, cur_len, config.body, policy=xla_pol
+        )
+        y1, c1 = M.stack_step_unrolled(
+            lps, x, caches, cur_len, config.body, policy=pk_pol
+        )
+        np.testing.assert_allclose(
+            np.asarray(y1, np.float32), np.asarray(y0, np.float32),
+            rtol=3e-3, atol=3e-3,
+            err_msg=f"q8 pallas dispatch diverged (T={T}, fused={fused})",
+        )
+        # the written caches must agree up to quantization rounding: both
+        # paths use the per-(token,head) absmax/127 rule but round the
+        # scale/codes in different fp orders -> codes may differ by 1
+        for t0, t1 in zip(c0, c1):
+            for a, b in zip(t0, t1):
+                tol = 1.0 if a.dtype == jnp.int8 else 2e-2
+                np.testing.assert_allclose(
+                    np.asarray(b, np.float32), np.asarray(a, np.float32),
+                    atol=tol, rtol=2e-2,
+                    err_msg=f"q8 cache write diverged (T={T}, fused={fused})",
+                )
