@@ -37,6 +37,15 @@ from rqvae_tpu.models.rqvae.modules import DDConfig
 from rqvae_tpu.ops import quantize as rq
 from rqvae_tpu.utils.config import Config, augment_arch_defaults
 
+# int8 KV cache (quantize-on-write fused into the Pallas attention kernel,
+# ops/attention_kernel.py::decode_attention_q8_update): measured AR win at
+# every batch (bs100 5.56 -> 5.22, bs500 3.71 -> 3.45 ms/sample) with
+# sampled grids tracking the bf16 cache at >= 90% agreement
+# (tests/test_decode_modes.py). On for the headline; BENCH_KV_Q8=0 reverts
+# to the bit-exact bf16 cache.
+if os.environ.get("BENCH_KV_Q8", "1") not in ("0", "false", "no"):
+    os.environ.setdefault("RQVAE_TPU_KV_Q8", "1")
+
 BATCH_SIZE = int(os.environ.get("BENCH_BS", "100"))
 N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "400"))  # per timed loop
 N_LOOPS = int(os.environ.get("BENCH_LOOPS", "2"))
@@ -212,7 +221,12 @@ def main():
         (bounds[p + 1] - bounds[p]) * min(HW, 1 + bounds[p + 1])
         for p in range(n_phases)
     )
-    cache_bytes = cache_rows * BATCH_SIZE * C * 2 * 2 * tconf.body.n_layer
+    # bytes per cached row per tensor (k or v): bf16 = 2C; int8 cache =
+    # C data bytes + one bf16 scale per (token, head)
+    nh = tconf.body.n_head
+    kv_q8 = M.decode_policy_from_env().kv_q8
+    row_bytes = (C + 2 * nh) if kv_q8 else 2 * C
+    cache_bytes = cache_rows * BATCH_SIZE * row_bytes * 2 * tconf.body.n_layer
     ar_gb = (body_w + head_w + cls_w + cache_bytes) / 1e9
     roofline_ms = ar_gb / 819.0 * 1000 / BATCH_SIZE
     # Measured XLA floor (tools/exp_matmul_floor.py): a pure dependent chain

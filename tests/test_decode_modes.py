@@ -309,6 +309,45 @@ def test_sample_kv_q8_policy_end_to_end():
     assert agree >= 0.9, f"kv_q8 sampled grid diverged: agreement {agree}"
 
 
+def test_sample_kv_q8_with_int8_weights():
+    """int8 weight-only quantization composes with the int8 KV cache —
+    this is the BENCH_INT8 bench configuration (bench.py defaults
+    RQVAE_TPU_KV_Q8=1). The two quantizations are independent (weights
+    stream through the dense path, the cache through attention), so the
+    combined run must stay deterministic, in-support, and track the
+    int8-weights/bf16-cache run as closely as kv_q8 alone tracks bf16."""
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+    arch = dict(
+        type="rq-transformer", vocab_size=32, block_size=[3, 3, 2],
+        embed_dim=64, input_embed_dim=16, shared_tok_emb=True,
+        shared_cls_emb=True, input_emb_vqvae=False, head_emb_vqvae=False,
+        cumsum_depth_ctx=True, vocab_size_cond=4, block_size_cond=1,
+        body={"n_layer": 2, "block": {"n_head": 4}},
+        head={"n_layer": 1, "block": {"n_head": 4}},
+    )
+    config = TransformerConfig.create(
+        augment_arch_defaults(Config(arch)).to_dict()
+    )
+    params = M.init_transformer_params(jax.random.PRNGKey(0), config)
+    qparams = M.quantize_transformer_params(params)
+    rng = jax.random.PRNGKey(1)
+    base = S.sample(qparams, config, rng, 8, policy=M.DecodePolicy())
+    both = S.sample(
+        qparams, config, rng, 8, policy=M.DecodePolicy(kv_q8=True)
+    )
+    both2 = S.sample(
+        qparams, config, rng, 8, policy=M.DecodePolicy(kv_q8=True)
+    )
+    np.testing.assert_array_equal(np.asarray(both), np.asarray(both2))
+    a = np.asarray(base).ravel()
+    b = np.asarray(both).ravel()
+    assert (b >= 0).all() and (b < 32).all()
+    agree = (a == b).mean()
+    assert agree >= 0.9, f"int8+kv_q8 sampled grid diverged: agreement {agree}"
+
+
 def test_sample_kv_q8_stacked_path_warns_and_ignores():
     """kv_q8 needs per-layer caches; the stacked-cache scan must warn and
     run with the bf16 cache instead of crashing."""
