@@ -266,7 +266,7 @@ class Stage1Trainer:
         _write_config_beside(weights_dir, self.config)
         ckpt_dir = os.path.join(self.config.result_path, "ckpt")
         path = save_checkpoint(ckpt_dir, self.state, epoch, block=False)
-        self.logger.info("epoch %d: checkpoint saving at %s", epoch, path)
+        self.logger.info("epoch %d: checkpoint saved (async) at %s", epoch, path)
 
     def maybe_resume(self):
         ckpt_dir = os.path.join(self.config.result_path, "ckpt")
@@ -393,7 +393,7 @@ class Stage2Trainer:
         _write_config_beside(weights_dir, self.config)
         ckpt_dir = os.path.join(self.config.result_path, "ckpt")
         path = save_checkpoint(ckpt_dir, self.state, epoch, block=False)
-        self.logger.info("epoch %d: checkpoint saving at %s", epoch, path)
+        self.logger.info("epoch %d: checkpoint saved (async) at %s", epoch, path)
 
     def maybe_resume(self):
         ckpt_dir = os.path.join(self.config.result_path, "ckpt")
