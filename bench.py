@@ -53,17 +53,38 @@ BATCH_SIZE = int(os.environ.get("BENCH_BS", "100"))
 N_SAMPLES = int(os.environ.get("BENCH_SAMPLES", "400"))  # per timed loop
 N_LOOPS = int(os.environ.get("BENCH_LOOPS", "2"))
 DECODE_CHUNK = int(os.environ.get("BENCH_DECODE_CHUNK", "100"))
-A100_BASELINE_MS = {100: 39.0, 200: 25.0, 500: 19.0}
+# BENCH_MODEL selects the transformer geometry. '1400M' is the reference's
+# headline throughput model (measure_throughput 'huge'); '3800M' is the
+# reference's best-FID flagship (configs/imagenet256/stage2/
+# in256-rqtransformer-8x8x4-3800M.yaml) — the reference never published a
+# throughput number for it, so its A100 baseline below is ESTIMATED by
+# scaling the 1.4B number by decode-weight bytes (both are HBM-bound).
+MODEL = os.environ.get("BENCH_MODEL", "1400M").strip()
+MODEL_GEOM = {
+    # embed_dim, body_layers, head_layers, n_head
+    "1400M": (1536, 42, 6, 24),
+    "3800M": (2560, 42, 6, 40),
+    "tiny": (256, 2, 1, 4),  # smoke-testing the bench harness itself
+}
+A100_BASELINE_MS = {
+    "1400M": {100: 39.0, 200: 25.0, 500: 19.0},
+    # (2560/1536)^2 = 2.78x decode-weight bytes vs 1.4B
+    "3800M": {100: 108.0, 200: 69.0, 500: 53.0},
+    "tiny": {100: 1.0},
+}
+BASELINE_ESTIMATED = MODEL != "1400M"
 DTYPE = jnp.bfloat16
 
 
 def build_models():
-    # 'huge' = 1.4B (measure_throughput/__main__.py:71-93) on f32 geometry
+    # 'huge' = 1.4B (measure_throughput/__main__.py:71-93) on f32 geometry;
+    # '3800M' = the reference flagship (README.md:46, FID 7.55)
+    embed_dim, n_body, n_head_layers, n_head = MODEL_GEOM[MODEL]
     arch = dict(
         type="rq-transformer",
         vocab_size=16384,
         block_size=[8, 8, 4],
-        embed_dim=1536,
+        embed_dim=embed_dim,
         input_embed_dim=256,
         shared_tok_emb=True,
         shared_cls_emb=True,
@@ -72,8 +93,8 @@ def build_models():
         cumsum_depth_ctx=True,
         vocab_size_cond=1000,
         block_size_cond=1,
-        body={"n_layer": 42, "block": {"n_head": 24}},
-        head={"n_layer": 6, "block": {"n_head": 24}},
+        body={"n_layer": n_body, "block": {"n_head": n_head}},
+        head={"n_layer": n_head_layers, "block": {"n_head": n_head}},
     )
     tconf = TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
 
@@ -238,7 +259,8 @@ def main():
         print(f"# loop {loop+1}/{N_LOOPS}: {ms:.2f} ms/sample", file=sys.stderr)
 
     value = min(speeds)
-    baseline = A100_BASELINE_MS.get(BATCH_SIZE, A100_BASELINE_MS[100])
+    model_baselines = A100_BASELINE_MS[MODEL]
+    baseline = model_baselines.get(BATCH_SIZE, model_baselines[100])
 
     # HBM roofline of the AR pass for THIS implementation (v5e: 819 GB/s):
     # per-layer weights (12*C^2), phased cache reads, head weights x D,
@@ -289,7 +311,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"RQ-Transformer 1.4B cIN256 sampling+decode, bs{BATCH_SIZE}, 1 TPU chip",
+                "metric": (
+                    f"RQ-Transformer {MODEL} cIN256 sampling+decode, "
+                    f"bs{BATCH_SIZE}, 1 TPU chip"
+                ),
                 "value": round(value, 2),
                 "unit": "ms/sample",
                 "vs_baseline": round(baseline / value, 3),
@@ -303,6 +328,7 @@ def main():
                 # <=10% from the reference-exact bf16 cache)
                 "kv_q8": bool(kv_q8_eff),
                 "int8_weights": bool(os.environ.get("BENCH_INT8")),
+                **({"baseline_estimated": True} if BASELINE_ESTIMATED else {}),
                 # bit-exact bf16-cache operating point (same decode time)
                 **(
                     {

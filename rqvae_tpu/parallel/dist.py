@@ -53,6 +53,11 @@ def initialize(
         else (int(os.environ["JAX_PROCESS_ID"]) if "JAX_PROCESS_ID" in os.environ else None)
     )
     if coordinator_address or num_processes:
+        # CPU multi-process clusters (2-process CI, local testing) need a
+        # cross-host collectives backend; gloo is the jax-bundled one. The
+        # knob only affects the CPU client — TPU collectives ride ICI/DCN
+        # regardless — so setting it unconditionally is safe.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
