@@ -43,11 +43,11 @@ def main():
         config.dataset.txt_tok_name, context_length=config.dataset.context_length
     )
 
-    clip_model = clip_processor = None
+    clip_scorer = None
     try:
         from rqvae_tpu.metrics.clip_score import load_clip
 
-        clip_model, clip_processor = load_clip()
+        clip_scorer = load_clip()
     except FileNotFoundError as e:
         print(f"(no CLIP re-ranking: {e})")
 
@@ -55,7 +55,7 @@ def main():
         ar_params, tconf, vqvae, vq_vars, text_encoder, args.prompt,
         args.num_samples, args.temp, args.top_k, args.top_p,
         rng=jax.random.PRNGKey(args.seed),
-        clip_model=clip_model, clip_processor=clip_processor,
+        clip_scorer=clip_scorer,
     )
     grid = make_grid(pixels, nrow=int(np.ceil(np.sqrt(args.num_samples))))
     Image.fromarray((grid * 255).astype(np.uint8)).save(args.out)

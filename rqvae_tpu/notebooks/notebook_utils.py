@@ -43,8 +43,7 @@ def get_generated_images_by_texts(
     top_k,
     top_p,
     rng: Optional[jax.Array] = None,
-    clip_model=None,
-    clip_processor=None,
+    clip_scorer=None,  # metrics.clip_score.CLIPScorer
 ):
     """Returns pixels [num_samples, H, W, 3] in [0,1], CLIP-reranked
     descending when a CLIP model is given (notebook_utils.py:128-136)."""
@@ -60,12 +59,8 @@ def get_generated_images_by_texts(
     pixels = vqvae.apply(vq_vars, codes, method=RQVAE.decode_code)
     pixels = np.asarray(jnp.clip(pixels * 0.5 + 0.5, 0.0, 1.0))
 
-    if clip_model is not None:
-        from rqvae_tpu.metrics.clip_score import clip_score
-
-        scores = clip_score(
-            pixels, [text_prompt] * num_samples, clip_model, clip_processor
-        )
+    if clip_scorer is not None:
+        scores = clip_scorer(pixels, [text_prompt] * num_samples)
         order = np.argsort(-scores)
         pixels = pixels[order]
     return pixels

@@ -202,6 +202,13 @@ def install():
     models.inception_v3 = inception_v3
     models.vgg16 = vgg16
     tv.models = models
+    # a real ModuleSpec so importlib.util.find_spec("torchvision") works
+    # (transformers probes it at import time; __spec__=None raises)
+    import importlib.machinery
+
+    for mod in (tv, models, inception):
+        mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, loader=None)
+    tv.__version__ = "0.0.0-stub"
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.models.inception"] = inception
