@@ -223,8 +223,13 @@ def main():
     # Dual headline (judge r3 #7): when the kv_q8 cache is on, ALSO time the
     # bit-exact bf16-cache AR path so the JSON carries both operating points.
     # Decode is cache-agnostic, so value_exact = exact AR + same decode time.
+    # BENCH_SKIP_EXACT=1 drops the second (bit-exact bf16-cache) program:
+    # at 3.8B-bf16 scale holding BOTH sampling executables exceeds v5e HBM
     ar_exact_ms = None
-    if kv_q8_eff:
+    skip_exact = os.environ.get("BENCH_SKIP_EXACT", "").strip().lower() in (
+        "1", "true", "yes",
+    )
+    if kv_q8_eff and not skip_exact:
         exact_policy = policy._replace(kv_q8=False)
 
         def ar_exact(n):
