@@ -75,6 +75,7 @@ def main():
         txt_weight=config.loss.get("txt_weight", 0.1),
         img_weight=config.loss.get("img_weight", 0.9),
         amp_bf16=config.experiment.get("amp_bf16", True),
+        remat=config.experiment.get("remat", False),
     )
 
     grad_accum = config.optimizer.get("grad_accm_steps", 1)

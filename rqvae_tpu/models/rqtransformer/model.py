@@ -473,6 +473,7 @@ def stack_forward(
     cfg: StackConfig,
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    remat: bool = False,
 ) -> jax.Array:
     T = x.shape[1]
     mask = jnp.tril(jnp.ones((T, T), dtype=bool))
@@ -482,10 +483,20 @@ def stack_forward(
         else None
     )
 
+    # remat: recompute each layer's activations in the backward pass instead
+    # of saving them — under the layer lax.scan this caps the saved state at
+    # ONE layer boundary [B, T, C] per layer instead of every intermediate
+    # (qkv/att/mlp hidden), trading ~1 extra forward of FLOPs for ~10x less
+    # activation HBM (the big-batch stage-2 lever; reference equivalent is
+    # torch checkpointing the reference never shipped for stage 2)
+    layer_fn = (
+        jax.checkpoint(_layer_body, static_argnums=(2, 5)) if remat else _layer_body
+    )
+
     def body(carry, inp):
         p = inp[0]
         r = inp[1] if rngs is not None else None
-        return _layer_body(carry, p, cfg, mask, r, deterministic), None
+        return layer_fn(carry, p, cfg, mask, r, deterministic), None
 
     xs = (params,) if rngs is None else (params, rngs)
     out, _ = jax.lax.scan(body, x, xs)
@@ -1263,6 +1274,7 @@ def forward(
     xs_emb: Optional[jax.Array] = None,  # [B, H*W, D, input_embed_dim]
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    remat: bool = False,  # rematerialize layer activations in backward
 ):
     """Teacher-forced forward (reference transformers.py:113-188).
 
@@ -1288,7 +1300,9 @@ def forward(
     latents = jnp.concatenate([conds_emb, xs_sum[:, :-1]], axis=1)
     latents = _dropout(latents, config.embd_pdrop, rngs[0], deterministic)
 
-    h = stack_forward(params["body"], latents, config.body, rngs[1], deterministic)
+    h = stack_forward(
+        params["body"], latents, config.body, rngs[1], deterministic, remat=remat
+    )
     spatial_ctx = h[:, cond_len - 1 :]
 
     cond_logits = None
@@ -1304,7 +1318,7 @@ def forward(
     depth_full = depth_full.reshape(B * seq_len, D, -1) + params["pos_emb_d"][:, :D]
 
     head_out = stack_forward(
-        params["head"], depth_full, config.head, rngs[2], deterministic
+        params["head"], depth_full, config.head, rngs[2], deterministic, remat=remat
     )
     head_out = head_out.reshape(B, H, W, D, -1)
     seq_logits = classifier_apply(params, config, head_out)

@@ -56,6 +56,13 @@ class Stage2LossConfig:
     # 95.9 ms/step on the 480M stage-2 step (256px bs16 v5e) with the body
     # scans at ~25% MFU, dominated by fp32 activation traffic.
     amp_bf16: bool = True
+    # rematerialize transformer layer activations in the backward pass
+    # (jax.checkpoint on the layer-scan body): caps saved activations at one
+    # [B, T, C] boundary per layer so per-chip batch can grow ~10x before
+    # HBM binds, at the cost of ~1 extra forward of FLOPs. Off by default
+    # (at small batch the step is latency- not memory-bound); flip on via
+    # experiment.remat for big-batch training.
+    remat: bool = False
 
 
 def init_state(
@@ -135,7 +142,8 @@ def loss_fn(
         params = jax.tree.map(cast, params)
         xs_emb = cast(xs_emb) if xs_emb is not None else None
     out = M.forward(
-        params, config, codes, cond, xs_emb, rng=rng, deterministic=deterministic
+        params, config, codes, cond, xs_emb, rng=rng, deterministic=deterministic,
+        remat=loss_cfg.remat,
     )
     if config.block_size_cond > 1:
         logits, cond_logits = out

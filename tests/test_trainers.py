@@ -227,6 +227,41 @@ class TestStage2:
                          new_state.ema_params, new_state.params)
         assert jax.tree.reduce(max, d) > 0
 
+    def test_remat_matches_plain(self):
+        """Stage2LossConfig.remat (jax.checkpoint on the layer-scan body)
+        changes memory, not math: loss and grads match the plain path."""
+        from rqvae_tpu.trainers.trainer_stage2 import loss_fn
+
+        config = TransformerConfig.create(
+            augment_arch_defaults(Config(ARCH2)).to_dict()
+        )
+        params = jax.jit(
+            lambda k: __import__(
+                "rqvae_tpu.models.rqtransformer.model", fromlist=["model"]
+            ).init_transformer_params(k, config)
+        )(jax.random.PRNGKey(0))
+        codes = jax.random.randint(jax.random.PRNGKey(1), (2, 4, 4, 2), 0, 64)
+        cond = jnp.zeros((2,), jnp.int32)
+        xs_emb = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 2, 16))
+
+        def run(remat):
+            cfg = t2.Stage2LossConfig(
+                use_soft_target=False, amp_bf16=False, remat=remat
+            )
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, config, cfg, codes, None, cond, xs_emb, None,
+                deterministic=True,
+            )
+            return loss, grads
+
+        l0, g0 = run(False)
+        l1, g1 = run(True)
+        assert np.allclose(float(l0), float(l1), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            g0, g1,
+        )
+
     def test_text_conditional_losses(self):
         arch = {**ARCH2, "vocab_size_cond": 16, "block_size_cond": 4}
         config = TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())

@@ -141,19 +141,25 @@ def stage2():
     t0 = time.time()
     state = t2.init_state(jax.random.PRNGKey(2), tconf, tx, use_ema=True)
     print(f"# stage2 init: {time.time()-t0:.1f}s", flush=True)
+    # PROBE_REMAT=1: layer-scan rematerialization; PROBE_ACCUM=k: grad-accum
+    # scan over k microbatches of PROBE_BS each (the reference's
+    # total_batch 2048 semantics, utils/config.py:114-129)
+    accum = int(os.environ.get("PROBE_ACCUM", "1"))
     step = jax.jit(
         t2.make_train_step(
             tconf, t2.Stage2LossConfig(use_soft_target=True, temp=0.5,
-                                       stochastic_codes=True),
+                                       stochastic_codes=True,
+                                       remat=bool(os.environ.get("PROBE_REMAT"))),
             tx, encode_fn=encode_fn,
             vq_state=vq_vars["codebook"]["state"], vq_config=vqvae.quantizer_config,
-            ema_mu=0.9999,
+            ema_mu=0.9999, grad_accum_steps=accum,
         ),
         donate_argnums=(0,),
     )
+    tot = BS * accum  # BS images per microbatch, accum microbatches per step
     batch = {
-        "images": jax.random.uniform(jax.random.PRNGKey(3), (BS, 256, 256, 3)) * 2 - 1,
-        "cond": jnp.zeros((BS,), jnp.int32),
+        "images": jax.random.uniform(jax.random.PRNGKey(3), (tot, 256, 256, 3)) * 2 - 1,
+        "cond": jnp.zeros((tot,), jnp.int32),
     }
     rng = jax.random.PRNGKey(4)
     t0 = time.time()
@@ -166,7 +172,23 @@ def stage2():
         state, metrics = step(state, batch, rng)
     fetch(metrics["loss_total"])
     dt = (time.time() - t0) / N
-    print(f"# stage2 step (bs{BS}): {dt*1000:.1f} ms -> {BS/dt:.1f} img/s/chip", flush=True)
+    tag = f"bs{BS}" + (f"x{accum}" if accum > 1 else "")
+    # analytic MFU: fwd+bwd ~6 FLOPs/param/token on the matmul params
+    # (body runs T=64 spatial positions, head + classifier run 64*D=256
+    # depth positions per image); v5e bf16 peak 197 TFLOP/s
+    p = state.params
+    n_body = sum(x.size for x in jax.tree.leaves(p["body"]))
+    n_head_p = sum(x.size for x in jax.tree.leaves(p["head"]))
+    n_cls = sum(
+        x.size for k in ("classifier",) if k in p for x in jax.tree.leaves(p[k])
+    )
+    flops_img = 6 * (n_body * 64 + (n_head_p + n_cls) * 256)
+    mfu = flops_img * tot / dt / 197e12
+    print(
+        f"# stage2 step ({tag}): {dt*1000:.1f} ms -> {tot/dt:.1f} img/s/chip "
+        f"(~{mfu*100:.1f}% MFU, {flops_img*tot/1e12:.1f} TFLOP/step)",
+        flush=True,
+    )
     if "--trace" in sys.argv:
         os.makedirs("/tmp/jax_trace_s2", exist_ok=True)
         with jax.profiler.trace("/tmp/jax_trace_s2"):
