@@ -1116,7 +1116,10 @@ def stack_step_unrolled(
             )
             y = y.reshape(B, S, C)
         if dense_ok and dense_q8:
-            x = _DK.fused_proj_mlp_q8(
+            # ring variant: explicit 3-deep DMA pipeline recovers the ~13%
+            # the 2-deep grid pipeline leaves on int8's half-size chunks
+            # (isolated-chain win; tools/exp_q8_pipeline.py)
+            x = _DK.fused_proj_mlp_q8_ring(
                 x[:, 0, :], y[:, 0, :],
                 lp["attn"]["wo"].q, lp["attn"]["wo"].scale, lp["attn"]["bo"],
                 lp["ln2"]["scale"], lp["ln2"]["bias"],

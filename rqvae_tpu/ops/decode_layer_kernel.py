@@ -273,6 +273,132 @@ def fused_proj_mlp(
     )(x, y, wo, bo, ln_scale, ln_bias, w1, b1.reshape(1, H), w2, b2)
 
 
+def _proj_mlp_q8_ring_kernel(
+    x_ref, y_ref, wo_ref, wos_ref, bo_ref, lns_ref, lnb_ref,
+    w1_hbm, w1s_ref, b1_ref, w2_hbm, w2s_ref, b2_ref, o_ref,
+    w1_buf, w2_buf, sem1, sem2, x2_s, h_s, acc_s,
+    *, gelu_version: str, chunk: int, n_buf: int, nc: int,
+):
+    """int8 proj+MLP with an explicit n_buf-deep DMA ring.
+
+    pallas' default grid pipeline keeps only ONE chunk-fill in flight while
+    one computes; at int8 the chunks are half the bytes of bf16, so the DMA
+    issue/ramp latency is a 2x larger fraction of each transfer and the
+    grid pipeline leaves ~13% on the floor (measured,
+    tools/exp_q8_pipeline.py: grid 0.96 ms vs ring 0.84 on the 16-layer
+    bs100 chain at chunk=768 n_buf=3; min-of-3 timing, 100-iter chains —
+    30-iter chains are fetch-noise-dominated through the tunnel). Weights
+    stay in HBM (memory_space=ANY); an n_buf-slot VMEM ring of manually
+    issued copies keeps n_buf - 1 chunk-pairs in flight during compute.
+    A chunk-contiguous prepacked layout measured NO further win (DMA rate
+    is not stride-bound), so the weights keep their natural [C, H]/[H, C]
+    layout. Same op order as the grid kernel: bit-identical in interpret
+    mode; on TPU Mosaic's fp contraction differs by <=2 bf16 ulps
+    (measured max|d| 0.0039 on unit-scale activations at C=1536)."""
+    cd = x_ref.dtype
+    prec = _prec(cd)
+
+    def dma1(slot, j):
+        return pltpu.make_async_copy(
+            w1_hbm.at[:, pl.dslice(j * chunk, chunk)], w1_buf.at[slot],
+            sem1.at[slot],
+        )
+
+    def dma2(slot, j):
+        return pltpu.make_async_copy(
+            w2_hbm.at[pl.dslice(j * chunk, chunk), :], w2_buf.at[slot],
+            sem2.at[slot],
+        )
+
+    for j in range(min(n_buf, nc)):
+        dma1(j, j).start()
+        dma2(j, j).start()
+
+    proj = jnp.dot(
+        y_ref[:], wo_ref[:].astype(cd),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * wos_ref[:].astype(jnp.float32)
+    x2 = x_ref[:] + (proj + bo_ref[:].astype(jnp.float32)).astype(cd)
+    x2_s[:] = x2
+    h_s[:] = _ln(x2, lns_ref[:], lnb_ref[:], cd)
+    acc_s[:] = jnp.zeros_like(acc_s)
+
+    for j in range(nc):  # static unroll (nc <= 12)
+        slot = j % n_buf
+        dma1(slot, j).wait()
+        dma2(slot, j).wait()
+        t = jnp.dot(
+            h_s[:], w1_buf[slot].astype(cd),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * w1s_ref[:, pl.dslice(j * chunk, chunk)].astype(jnp.float32) + b1_ref[
+            :, pl.dslice(j * chunk, chunk)
+        ].astype(jnp.float32)
+        t = _gelu(t, gelu_version).astype(cd)
+        acc_s[:] += jnp.dot(
+            t, w2_buf[slot].astype(cd),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        if j + n_buf < nc:  # refill this slot AFTER the compute that read it
+            dma1(slot, j + n_buf).start()
+            dma2(slot, j + n_buf).start()
+
+    o_ref[:] = x2_s[:] + (
+        acc_s[:] * w2s_ref[:].astype(jnp.float32) + b2_ref[:].astype(jnp.float32)
+    ).astype(cd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gelu_version", "chunk", "n_buf", "interpret")
+)
+def fused_proj_mlp_q8_ring(
+    x, y, wo_q, wo_scale, bo, ln_scale, ln_bias,
+    w1_q, w1_scale, b1, w2_q, w2_scale, b2,
+    gelu_version="v1", chunk=768, n_buf=3, interpret=False,
+):
+    """fused_proj_mlp_q8 with the explicit DMA ring (the shipped int8
+    pipeline; see _proj_mlp_q8_ring_kernel). chunk=768 / n_buf=3 measured
+    best on the 16-layer bs100 chain (tools/exp_q8_pipeline.py)."""
+    B, C = x.shape
+    H = w1_q.shape[1]
+    if H % min(chunk, H):
+        chunk = _pick_chunk(H, chunk)
+    chunk = min(chunk, H)
+    nc = H // chunk
+    n_buf = min(n_buf, nc)
+    kern = functools.partial(
+        _proj_mlp_q8_ring_kernel,
+        gelu_version=gelu_version, chunk=chunk, n_buf=n_buf, nc=nc,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        kern,
+        in_specs=[
+            vmem, vmem, vmem, vmem, vmem, vmem, vmem,
+            hbm, vmem, vmem, hbm, vmem, vmem,
+        ],
+        out_specs=vmem,
+        out_shape=jax.ShapeDtypeStruct((B, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, C, chunk), jnp.int8),
+            pltpu.VMEM((n_buf, chunk, C), jnp.int8),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.VMEM((B, C), x.dtype),
+            pltpu.VMEM((B, C), x.dtype),
+            pltpu.VMEM((B, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x, y, wo_q, wo_scale.reshape(1, C), bo, ln_scale, ln_bias,
+        w1_q, w1_scale.reshape(1, H), b1.reshape(1, H),
+        w2_q, w2_scale.reshape(1, C), b2.reshape(1, C),
+    )
+
+
 def _proj_mlp_q8_kernel(
     x_ref, y_ref, wo_ref, wos_ref, bo_ref, lns_ref, lnb_ref,
     w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref, b2_ref, o_ref,

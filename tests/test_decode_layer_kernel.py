@@ -110,6 +110,36 @@ def test_fused_proj_mlp_q8_matches_xla(dt, tol, gelu_version):
     assert err < tol, err
 
 
+@pytest.mark.parametrize("dt,tol", [(jnp.float32, 2e-4), (jnp.bfloat16, 0.1)])
+@pytest.mark.parametrize("n_buf", [2, 3])
+def test_fused_proj_mlp_q8_ring_matches_xla(dt, tol, n_buf):
+    """The DMA-ring q8 kernel (the shipped int8 dense path) == XLA; also
+    bit-identical to the grid-pipeline kernel in interpret mode (same op
+    order; on real TPU Mosaic contraction differs by <=2 bf16 ulps)."""
+    p = _mk(dt)
+    wo, w1, w2 = (M._quantize_weight(p[n]) for n in ("wo", "w1", "w2"))
+    x2 = p["x"] + ((p["y"] @ wo.q.astype(dt)) * wo.scale.astype(dt) + p["bo"])
+    h2 = M.layer_norm(x2, p["lns"], p["lnb"])
+    t = M.gelu((h2 @ w1.q.astype(dt)) * w1.scale.astype(dt) + p["b1"], "v1")
+    ref = x2 + ((t @ w2.q.astype(dt)) * w2.scale.astype(dt) + p["b2"])
+    got = DL.fused_proj_mlp_q8_ring(
+        p["x"], p["y"], wo.q, wo.scale, p["bo"], p["lns"], p["lnb"],
+        w1.q, w1.scale, p["b1"], w2.q, w2.scale, p["b2"],
+        chunk=256, n_buf=n_buf, interpret=True,
+    )
+    err = np.abs(
+        np.asarray(ref, np.float32) - np.asarray(got, np.float32)
+    ).max()
+    assert err < tol, err
+    grid = DL.fused_proj_mlp_q8(
+        p["x"], p["y"], wo.q, wo.scale, p["bo"], p["lns"], p["lnb"],
+        w1.q, w1.scale, p["b1"], w2.q, w2.scale, p["b2"],
+        chunk=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(grid, np.float32))
+
+
 def test_stack_step_unrolled_q8_dense_mode_matches_xla(monkeypatch):
     """Full decode step with int8-quantized params through the q8 dense
     kernels (interpret on CPU) == the XLA QuantizedWeight path."""
