@@ -40,10 +40,14 @@ TRANSFORMERS = {  # model -> (embed_dim, body_d>1, head_d>1, body_d1, n_head)
     "large": (1536, 24, 4, 28, 24),
     "medium": (1280, 18, 4, 22, 20),
     "small": (768, 24, 4, 28, 12),
+    # the cc3m text-conditional 650M (configs/cc3m/cc3m-rqtransformer-
+    # 8x8x4-650M.yaml): embed 1280, body 26, head 4, nh 20; pair with
+    # cond_len=32 vocab_cond=16384 for the real text geometry
+    "650M": (1280, 26, 4, 26, 20),
 }
 
 
-def build(f, model_name, depth, codebook_size):
+def build(f, model_name, depth, codebook_size, cond_len=1, vocab_cond=1000):
     hw, ch_mult, attn_res = RQVAE_GEOM[f]
     arch_vq = dict(
         type="rq-vae",
@@ -70,7 +74,7 @@ def build(f, model_name, depth, codebook_size):
         input_embed_dim=256,
         shared_tok_emb=True, shared_cls_emb=True,
         input_emb_vqvae=True, head_emb_vqvae=True, cumsum_depth_ctx=True,
-        vocab_size_cond=1000, block_size_cond=1,
+        vocab_size_cond=vocab_cond, block_size_cond=cond_len,
         body={"n_layer": body_l if depth > 1 else body_l_d1,
               "block": {"n_head": n_head}},
         head={"n_layer": head_l if depth > 1 else 0, "block": {"n_head": n_head}},
@@ -89,8 +93,14 @@ def main():
     n_loop = int(kv.get("n_loop", 6))
     warmup = int(kv.get("warmup", 1))
     samples_per_loop = int(kv.get("samples_per_loop", 1000))
+    # text-conditional geometry (main_sampling_txt2img.py:77-118): a
+    # cond_len-token prompt prefix prefills the body, lengthening its
+    # sequence to cond_len + H*W
+    cond_len = int(kv.get("cond_len", 1))
+    vocab_cond = int(kv.get("vocab_cond", 16384 if cond_len > 1 else 1000))
+    top_p = float(kv["top_p"]) if "top_p" in kv else None
 
-    vqvae, tconf = build(f, model_name, depth, codebook_size)
+    vqvae, tconf = build(f, model_name, depth, codebook_size, cond_len, vocab_cond)
 
     @jax.jit
     def init_all(k1, k2, k3):
@@ -111,16 +121,21 @@ def main():
     n_ar = sum(p.size for p in jax.tree.leaves(params))
     n_vq = sum(p.size for p in jax.tree.leaves(vq_vars["params"]))
     title = f"f{f}-{model_name}-d{depth}-c{codebook_size}-bs{batch_size}"
+    if cond_len > 1:
+        title += f"-cond{cond_len}"
     print(f"{title} | backend {jax.default_backend()}")
     print(f"rqvae size: {n_vq/1e6:.1f}M, rqtransformer size: {n_ar/1e6:.1f}M")
 
-    cond = jnp.zeros((batch_size,), jnp.int32)
+    if cond_len > 1:
+        cond = jnp.zeros((batch_size, cond_len), jnp.int32)
+    else:
+        cond = jnp.zeros((batch_size,), jnp.int32)
 
     def sample_fn(key):
         return S.sample(
             params, tconf, key, batch_size, cond=cond,
             vq_state=vq_state, vq_config=vq_config,
-            temperature=1.0, top_k=None, top_p=None, dtype=DTYPE,
+            temperature=1.0, top_k=None, top_p=top_p, dtype=DTYPE,
         )
 
     # decode in <=100-image chunks (100 fits v5e HBM at 256x256 alongside

@@ -117,3 +117,23 @@ class TestT2ICli:
         assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
         log = r.stdout + r.stderr
         assert "loss_txt" in log and "checkpoint saved" in log, log[-1500:]
+
+
+def test_measure_throughput_650m_text_geometry():
+    """cli/measure_throughput.py builds the cc3m 650M text-conditional
+    geometry (configs/cc3m/cc3m-rqtransformer-8x8x4-650M.yaml: embed 1280,
+    body 26 / head 4 @ nh20, 32-token cond prefix over a 16384 BPE vocab)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "measure_throughput", os.path.join(REPO, "cli", "measure_throughput.py")
+    )
+    mt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mt)
+
+    _, tconf = mt.build(32, "650M", 4, 16384, cond_len=32, vocab_cond=16384)
+    assert tconf.embed_dim == 1280
+    assert tconf.body.n_layer == 26 and tconf.body.n_head == 20
+    assert tconf.head.n_layer == 4
+    assert tconf.block_size_cond == 32
+    assert tconf.vocab_size_cond == 16384
