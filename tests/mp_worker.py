@@ -22,9 +22,27 @@ NOTE: runs standalone (no conftest) — must pin the CPU platform itself.
 import json
 import os
 import sys
+import threading
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
+
+# Orphan watchdog: if the launching pytest dies (timeout, ctrl-C), workers
+# must not linger fighting for the CPU — poll the parent and hard-exit when
+# it disappears (jax.distributed collectives can block indefinitely).
+_PARENT = os.getppid()
+
+
+def _watchdog():
+    import time as _t
+
+    while True:
+        _t.sleep(5)
+        if os.getppid() != _PARENT:  # reparented -> parent died
+            os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 
