@@ -53,11 +53,14 @@ def main():
     vqvae, vq_vars = load_rqvae(config.vqvae, config.vqvae.ckpt)
     vq_state = vq_vars["codebook"]["state"]
 
-    # bf16 frozen encode by default (experiment.encode_bf16: false for fp32)
-    encode_fn = t2.make_frozen_encode_fn(
+    # bf16 frozen encode by default (experiment.encode_bf16: false for fp32);
+    # as_args keeps the 100M-param encoder out of the HLO constant pool
+    # (remote-compile uploads closure constants per compile)
+    encode_fn, enc_vars = t2.make_frozen_encode_fn(
         vqvae, vq_vars,
         dtype=jnp.bfloat16
         if config.experiment.get("encode_bf16", True) else None,
+        as_args=True,
     )
 
     tconf = create_rqtransformer(config.arch)
@@ -96,7 +99,7 @@ def main():
 
     trainer = Stage2Trainer(
         config=config, tconf=tconf, loss_cfg=loss_cfg, tx=tx,
-        encode_fn=encode_fn, vq_state=vq_state,
+        encode_fn=encode_fn, encode_vars=enc_vars, vq_state=vq_state,
         vq_config=vqvae.quantizer_config,
         dataset_trn=dataset_trn, dataset_val=dataset_val,
         logger=logger, writer=writer, sharding=sharding,

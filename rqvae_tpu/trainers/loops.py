@@ -310,6 +310,9 @@ class Stage2Trainer:
         encode_fn,
         vq_state,
         vq_config,
+        encode_vars=None,  # pass the frozen encoder as a jit ARG (see
+        # make_frozen_encode_fn(as_args=True)): keeps the 100M-param
+        # stage-1 encoder out of the HLO constant pool
         dataset_trn,
         dataset_val,
         logger,
@@ -339,11 +342,14 @@ class Stage2Trainer:
             jax.random.PRNGKey(seed), tconf, tx,
             use_ema=config.arch.get("ema") is not None,
         )
+        self._enc_vars = encode_vars
+        takes_vars = encode_vars is not None
         self._train_step = jax.jit(
             t2.make_train_step(
                 tconf, loss_cfg, tx, encode_fn=encode_fn,
                 vq_state=vq_state, vq_config=vq_config,
                 grad_accum_steps=grad_accum_steps,
+                encode_takes_vars=takes_vars,
             ),
             donate_argnums=(0,),
         )
@@ -351,6 +357,7 @@ class Stage2Trainer:
             t2.make_eval_step(
                 tconf, loss_cfg, encode_fn=encode_fn,
                 vq_state=vq_state, vq_config=vq_config,
+                encode_takes_vars=takes_vars,
             )
         )
 
@@ -359,7 +366,7 @@ class Stage2Trainer:
         self.loader_trn.set_epoch(epoch)
         rng = jax.random.PRNGKey(self.seed + 1)
         for it, batch in enumerate(self.loader_trn):
-            self.state, metrics = self._train_step(self.state, batch, rng)
+            self.state, metrics = self._train_step(self.state, batch, rng, self._enc_vars)
             metrics_np = jax.device_get(metrics)
             accm.update(metrics_np, count=1)
             global_iter = epoch * len(self.loader_trn) + it
@@ -378,7 +385,8 @@ class Stage2Trainer:
             self.state.ema_params if self.state.ema_params is not None else self.state.params
         )
         for i, batch in enumerate(self.loader_val):
-            metrics = self._eval_step(params, batch, jax.random.fold_in(base, i))
+            metrics = self._eval_step(params, batch, jax.random.fold_in(base, i),
+                                      self._enc_vars)
             accm.update(jax.device_get(metrics), count=1)
         return accm.get_summary()
 

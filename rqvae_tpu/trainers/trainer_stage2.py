@@ -80,7 +80,7 @@ def init_state(
     )
 
 
-def make_frozen_encode_fn(vqvae, vq_vars: dict, dtype=jnp.bfloat16):
+def make_frozen_encode_fn(vqvae, vq_vars: dict, dtype=jnp.bfloat16, as_args=False):
     """Frozen stage-1 encode for stage-2 training, in `dtype` compute.
 
     The encoder carries no gradients and its output only feeds the code
@@ -90,20 +90,33 @@ def make_frozen_encode_fn(vqvae, vq_vars: dict, dtype=jnp.bfloat16):
     argmin. Measured on the 99 ms stage-2 step (256px bs16, v5e) the fp32
     encoder was ~13 ms; bf16 halves its HBM/VPU traffic and doubles the conv
     MXU rate. dtype=None keeps full fp32 (bit-parity with the reference's
-    no_grad fp32 encode)."""
-    if dtype is None:
-        def encode_fn(images):
-            return vqvae.apply(vq_vars, images, method=type(vqvae).encode)
-        return encode_fn
+    no_grad fp32 encode).
 
+    as_args=True returns `(encode_fn, enc_vars)` with the signature
+    `encode_fn(images, enc_vars)`: the 100M-param encoder then rides the
+    train step as a jit ARGUMENT instead of a closure constant. Closed-over
+    device arrays embed in the lowered HLO, which this environment uploads
+    through the remote-compile tunnel on every (re)compile — hundreds of MB
+    per batch-size change — and large enough constants crash the compile
+    helper outright. Args-mode is the production path (cli/main_stage2.py,
+    trainers/loops.py); closure mode survives for small-model tests."""
     def cast(t):
+        if dtype is None:
+            return t
         return t.astype(dtype) if (hasattr(t, "dtype") and t.dtype == jnp.float32) else t
 
     enc_vars = dict(vq_vars)
     enc_vars["params"] = jax.tree.map(cast, vq_vars["params"])
 
+    if as_args:
+        def encode_fn(images, variables):
+            x = images if dtype is None else images.astype(dtype)
+            return vqvae.apply(variables, x, method=type(vqvae).encode)
+        return encode_fn, enc_vars
+
     def encode_fn(images):
-        return vqvae.apply(enc_vars, images.astype(dtype), method=type(vqvae).encode)
+        x = images if dtype is None else images.astype(dtype)
+        return vqvae.apply(enc_vars, x, method=type(vqvae).encode)
 
     return encode_fn
 
@@ -182,11 +195,18 @@ def make_train_step(
     vq_config: Optional[rq.QuantizerConfig] = None,
     grad_accum_steps: int = 1,
     ema_mu: float = 0.9999,
+    encode_takes_vars: bool = False,
 ):
     """Build the jittable train step.
 
     batch: {"images": [B,...,3]} (with encode_fn) or {"codes": [B,H,W,D]};
     optional "cond". B must be divisible by grad_accum_steps.
+
+    encode_takes_vars=True pairs with make_frozen_encode_fn(as_args=True):
+    the returned step's signature becomes
+    `train_step(state, batch, rng, enc_vars)` and the frozen encoder's
+    parameters are jit ARGUMENTS (never HLO constants — see the
+    make_frozen_encode_fn docstring for why that matters here).
     """
     soft_fn = (
         make_soft_code_fn(vq_state, vq_config, loss_cfg)
@@ -194,7 +214,7 @@ def make_train_step(
         else None
     )
 
-    def prepare_micro(batch_slice, rng):
+    def prepare_micro(batch_slice, rng, enc_vars):
         """From raw batch to (codes, soft_targets, xs_emb)."""
         if "codes" in batch_slice:
             codes = batch_slice["codes"]
@@ -204,7 +224,10 @@ def make_train_step(
                 raise ValueError("soft targets required when use_soft_target")
         else:
             assert encode_fn is not None and soft_fn is not None
-            z_e = jax.lax.stop_gradient(encode_fn(batch_slice["images"]))
+            z_e = jax.lax.stop_gradient(
+                encode_fn(batch_slice["images"], enc_vars)
+                if encode_takes_vars else encode_fn(batch_slice["images"])
+            )
             soft_targets, codes_hw = soft_fn(z_e, rng)
             h, w, D = codes_hw.shape[1:]
             codes = codes_hw.reshape(codes_hw.shape[0], h, w, D)
@@ -215,19 +238,19 @@ def make_train_step(
             xs_emb = rq.embed_code_with_depth(codes_flat, vq_state, vq_config)
         return codes, soft_targets, xs_emb
 
-    def micro_grad(params, batch_slice, rng):
+    def micro_grad(params, batch_slice, rng, enc_vars):
         r_soft, r_drop = jax.random.split(rng)
-        codes, soft_targets, xs_emb = prepare_micro(batch_slice, r_soft)
+        codes, soft_targets, xs_emb = prepare_micro(batch_slice, r_soft, enc_vars)
         cond = batch_slice.get("cond")
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, config, loss_cfg, codes, soft_targets, cond, xs_emb, r_drop
         )
         return grads, metrics
 
-    def train_step(state: Stage2State, batch: dict, rng: jax.Array):
+    def train_step(state: Stage2State, batch: dict, rng: jax.Array, enc_vars=None):
         rng = jax.random.fold_in(rng, state.step)
         if grad_accum_steps == 1:
-            grads, metrics = micro_grad(state.params, batch, rng)
+            grads, metrics = micro_grad(state.params, batch, rng, enc_vars)
         else:
             def reshape(x):
                 return x.reshape(grad_accum_steps, x.shape[0] // grad_accum_steps, *x.shape[1:])
@@ -237,7 +260,7 @@ def make_train_step(
 
             def body(carry, inp):
                 slice_, r = inp
-                g, m = micro_grad(state.params, slice_, r)
+                g, m = micro_grad(state.params, slice_, r, enc_vars)
                 return jax.tree.map(jnp.add, carry, g), m
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
@@ -264,18 +287,20 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(config, loss_cfg, *, encode_fn=None, vq_state=None, vq_config=None):
+def make_eval_step(config, loss_cfg, *, encode_fn=None, vq_state=None, vq_config=None,
+                   encode_takes_vars: bool = False):
     soft_fn = (
         make_soft_code_fn(vq_state, vq_config, loss_cfg)
         if (vq_state is not None and loss_cfg.use_soft_target)
         else None
     )
 
-    def eval_step(params, batch, rng):
+    def eval_step(params, batch, rng, enc_vars=None):
         if "codes" in batch:
             codes, soft_targets = batch["codes"], batch.get("soft_targets")
         else:
-            z_e = encode_fn(batch["images"])
+            z_e = (encode_fn(batch["images"], enc_vars)
+                   if encode_takes_vars else encode_fn(batch["images"]))
             soft_targets, codes_hw = soft_fn(z_e, rng)
             h, w, D = codes_hw.shape[1:]
             codes = codes_hw.reshape(codes_hw.shape[0], h, w, D)

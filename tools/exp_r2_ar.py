@@ -33,6 +33,10 @@ from rqvae_tpu.utils.config import Config, augment_arch_defaults
 BS = int(os.environ.get("EXP_BS", "100"))
 ITERS = int(os.environ.get("EXP_ITERS", "4"))
 INT8 = bool(os.environ.get("EXP_INT8"))
+# EXP_MODEL: 1400M (default, the throughput 'huge') or 3800M (the
+# reference flagship, configs/imagenet256/stage2/*3800M.yaml geometry)
+MODEL = os.environ.get("EXP_MODEL", "1400M").strip()
+MODEL_GEOM = {"1400M": (1536, 42, 6, 24), "3800M": (2560, 42, 6, 40)}
 DTYPE = jnp.bfloat16
 
 
@@ -41,11 +45,12 @@ def fetch(x):
 
 
 def build():
+    embed_dim, n_body, n_head_layers, n_head = MODEL_GEOM[MODEL]
     arch = dict(
         type="rq-transformer",
         vocab_size=16384,
         block_size=[8, 8, 4],
-        embed_dim=1536,
+        embed_dim=embed_dim,
         input_embed_dim=256,
         shared_tok_emb=True,
         shared_cls_emb=True,
@@ -54,8 +59,8 @@ def build():
         cumsum_depth_ctx=True,
         vocab_size_cond=1000,
         block_size_cond=1,
-        body={"n_layer": 42, "block": {"n_head": 24}},
-        head={"n_layer": 6, "block": {"n_head": 24}},
+        body={"n_layer": n_body, "block": {"n_head": n_head}},
+        head={"n_layer": n_head_layers, "block": {"n_head": n_head}},
     )
     tconf = TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
 
@@ -89,7 +94,7 @@ def build():
 def main():
     tconf, params, vq_state, vq_config = build()
     flags = os.environ.get("XLA_FLAGS", "")
-    print(f"# backend {jax.default_backend()}, bs {BS}, XLA_FLAGS={flags!r}", flush=True)
+    print(f"# backend {jax.default_backend()}, model {MODEL}, bs {BS}, XLA_FLAGS={flags!r}", flush=True)
     cond = jnp.zeros((BS,), jnp.int32)
 
     def sample_fn(key):

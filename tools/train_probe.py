@@ -121,10 +121,14 @@ def stage2():
         {"params": jax.random.PRNGKey(0), "quantizer": jax.random.PRNGKey(1)}, x0
     )
 
-    # bf16 frozen encode (PROBE_ENCODE_FP32=1 for the old fp32 path)
-    encode_fn = t2.make_frozen_encode_fn(
+    # bf16 frozen encode (PROBE_ENCODE_FP32=1 for the old fp32 path);
+    # args-mode keeps the 100M-param encoder out of the HLO constant pool —
+    # closure constants upload through the remote-compile tunnel per compile
+    # and crash the compile helper at bs>=64
+    encode_fn, enc_vars = t2.make_frozen_encode_fn(
         vqvae, vq_vars,
         dtype=None if os.environ.get("PROBE_ENCODE_FP32") else jnp.bfloat16,
+        as_args=True,
     )
 
     arch = dict(
@@ -138,64 +142,88 @@ def stage2():
     tconf = TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(5e-4, b1=0.9, b2=0.95, weight_decay=1e-4))
-    t0 = time.time()
-    state = t2.init_state(jax.random.PRNGKey(2), tconf, tx, use_ema=True)
-    print(f"# stage2 init: {time.time()-t0:.1f}s", flush=True)
     # PROBE_REMAT=1: layer-scan rematerialization; PROBE_ACCUM=k: grad-accum
     # scan over k microbatches of PROBE_BS each (the reference's
-    # total_batch 2048 semantics, utils/config.py:114-129)
-    accum = int(os.environ.get("PROBE_ACCUM", "1"))
-    step = jax.jit(
-        t2.make_train_step(
-            tconf, t2.Stage2LossConfig(use_soft_target=True, temp=0.5,
-                                       stochastic_codes=True,
-                                       remat=bool(os.environ.get("PROBE_REMAT"))),
-            tx, encode_fn=encode_fn,
-            vq_state=vq_vars["codebook"]["state"], vq_config=vqvae.quantizer_config,
-            ema_mu=0.9999, grad_accum_steps=accum,
-        ),
-        donate_argnums=(0,),
-    )
-    tot = BS * accum  # BS images per microbatch, accum microbatches per step
-    batch = {
-        "images": jax.random.uniform(jax.random.PRNGKey(3), (tot, 256, 256, 3)) * 2 - 1,
-        "cond": jnp.zeros((tot,), jnp.int32),
-    }
-    rng = jax.random.PRNGKey(4)
-    t0 = time.time()
-    state, metrics = step(state, batch, rng)
-    fetch(metrics["loss_total"])
-    print(f"# stage2 compile+first step: {time.time()-t0:.1f}s", flush=True)
-    N = 8
-    t0 = time.time()
-    for _ in range(N):
-        state, metrics = step(state, batch, rng)
-    fetch(metrics["loss_total"])
-    dt = (time.time() - t0) / N
-    tag = f"bs{BS}" + (f"x{accum}" if accum > 1 else "")
-    # analytic MFU: fwd+bwd ~6 FLOPs/param/token on the matmul params
-    # (body runs T=64 spatial positions, head + classifier run 64*D=256
-    # depth positions per image); v5e bf16 peak 197 TFLOP/s
-    p = state.params
-    n_body = sum(x.size for x in jax.tree.leaves(p["body"]))
-    n_head_p = sum(x.size for x in jax.tree.leaves(p["head"]))
-    n_cls = sum(
-        x.size for k in ("classifier",) if k in p for x in jax.tree.leaves(p[k])
-    )
-    flops_img = 6 * (n_body * 64 + (n_head_p + n_cls) * 256)
-    mfu = flops_img * tot / dt / 197e12
-    print(
-        f"# stage2 step ({tag}): {dt*1000:.1f} ms -> {tot/dt:.1f} img/s/chip "
-        f"(~{mfu*100:.1f}% MFU, {flops_img*tot/1e12:.1f} TFLOP/step)",
-        flush=True,
-    )
-    if "--trace" in sys.argv:
-        os.makedirs("/tmp/jax_trace_s2", exist_ok=True)
-        with jax.profiler.trace("/tmp/jax_trace_s2"):
-            for _ in range(2):
-                state, metrics = step(state, batch, rng)
+    # total_batch 2048 semantics, utils/config.py:114-129).
+    # PROBE_SWEEP="16,64,256,64x4,256r": measure several operating points in
+    # ONE process (spec = BS[xACCUM][r]; r = remat) — the img/s-vs-batch MFU
+    # curve at the reference's realistic per-chip batches.
+    sweep = os.environ.get("PROBE_SWEEP", "")
+    if sweep:
+        specs = []
+        for tok in sweep.split(","):
+            tok = tok.strip().lower()
+            remat = tok.endswith("r")
+            tok = tok.rstrip("r")
+            bs_s, _, acc_s = tok.partition("x")
+            specs.append((int(bs_s), int(acc_s or "1"), remat))
+    else:
+        specs = [(BS, int(os.environ.get("PROBE_ACCUM", "1")),
+                  bool(os.environ.get("PROBE_REMAT")))]
+
+    for bs, accum, remat in specs:
+        t0 = time.time()
+        state = t2.init_state(jax.random.PRNGKey(2), tconf, tx, use_ema=True)
+        print(f"# stage2 init: {time.time()-t0:.1f}s", flush=True)
+        step = jax.jit(
+            t2.make_train_step(
+                tconf, t2.Stage2LossConfig(use_soft_target=True, temp=0.5,
+                                           stochastic_codes=True, remat=remat),
+                tx, encode_fn=encode_fn, encode_takes_vars=True,
+                vq_state=vq_vars["codebook"]["state"],
+                vq_config=vqvae.quantizer_config,
+                ema_mu=0.9999, grad_accum_steps=accum,
+            ),
+            donate_argnums=(0,),
+        )
+        tot = bs * accum  # bs images per microbatch, accum microbatches per step
+        batch = {
+            "images": jax.random.uniform(jax.random.PRNGKey(3), (tot, 256, 256, 3)) * 2 - 1,
+            "cond": jnp.zeros((tot,), jnp.int32),
+        }
+        rng = jax.random.PRNGKey(4)
+        t0 = time.time()
+        try:
+            state, metrics = step(state, batch, rng, enc_vars)
             fetch(metrics["loss_total"])
-        print("# stage2 trace -> /tmp/jax_trace_s2 (tools/trace_top_ops.py)", flush=True)
+        except Exception as e:  # OOM at large batch: report and continue the sweep
+            print(f"# stage2 bs{bs}x{accum}{'r' if remat else ''}: "
+                  f"FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
+            continue
+        print(f"# stage2 compile+first step: {time.time()-t0:.1f}s", flush=True)
+        N = 8
+        t0 = time.time()
+        for _ in range(N):
+            state, metrics = step(state, batch, rng, enc_vars)
+        fetch(metrics["loss_total"])
+        dt = (time.time() - t0) / N
+        tag = f"bs{bs}" + (f"x{accum}" if accum > 1 else "") + ("r" if remat else "")
+        # analytic MFU: fwd+bwd ~6 FLOPs/param/token on the matmul params
+        # (body runs T=64 spatial positions, head + classifier run 64*D=256
+        # depth positions per image); v5e bf16 peak 197 TFLOP/s
+        p = state.params
+        n_body = sum(x.size for x in jax.tree.leaves(p["body"]))
+        n_head_p = sum(x.size for x in jax.tree.leaves(p["head"]))
+        n_cls = sum(
+            x.size for k in ("classifier",) if k in p for x in jax.tree.leaves(p[k])
+        )
+        flops_img = 6 * (n_body * 64 + (n_head_p + n_cls) * 256)
+        mfu = flops_img * tot / dt / 197e12
+        print(
+            f"# stage2 step ({tag}): {dt*1000:.1f} ms -> {tot/dt:.1f} img/s/chip "
+            f"(~{mfu*100:.1f}% MFU, {flops_img*tot/1e12:.1f} TFLOP/step)",
+            flush=True,
+        )
+        del state
+        if "--trace" in sys.argv:
+            os.makedirs("/tmp/jax_trace_s2", exist_ok=True)
+            with jax.profiler.trace("/tmp/jax_trace_s2"):
+                for _ in range(2):
+                    state2, metrics = step(
+                        t2.init_state(jax.random.PRNGKey(2), tconf, tx, use_ema=True),
+                        batch, rng, enc_vars)
+                fetch(metrics["loss_total"])
+            print("# stage2 trace -> /tmp/jax_trace_s2 (tools/trace_top_ops.py)", flush=True)
 
 
 if __name__ == "__main__":
