@@ -489,8 +489,13 @@ def stack_forward(
     # (qkv/att/mlp hidden), trading ~1 extra forward of FLOPs for ~10x less
     # activation HBM (the big-batch stage-2 lever; reference equivalent is
     # torch checkpointing the reference never shipped for stage 2)
+    # prevent_cse=False: under lax.scan the loop boundary already blocks the
+    # CSE that prevent_cse guards against, so the default's optimization
+    # barriers only cost (JAX docs' recommended setting for scan-over-layers)
     layer_fn = (
-        jax.checkpoint(_layer_body, static_argnums=(2, 5)) if remat else _layer_body
+        jax.checkpoint(_layer_body, static_argnums=(2, 5), prevent_cse=False)
+        if remat
+        else _layer_body
     )
 
     def body(carry, inp):

@@ -323,7 +323,9 @@ def _proj_mlp_q8_ring_kernel(
     h_s[:] = _ln(x2, lns_ref[:], lnb_ref[:], cd)
     acc_s[:] = jnp.zeros_like(acc_s)
 
-    for j in range(nc):  # static unroll (nc <= 12)
+    # static unroll: nc is a trace-time constant (8 at C=1536/H=6144, 16 at
+    # the 3.8B's H=10240/chunk=640); VMEM headroom is checked in the wrapper
+    for j in range(nc):
         slot = j % n_buf
         dma1(slot, j).wait()
         dma2(slot, j).wait()
@@ -369,8 +371,19 @@ def fused_proj_mlp_q8_ring(
         _proj_mlp_q8_ring_kernel,
         gelu_version=gelu_version, chunk=chunk, n_buf=n_buf, nc=nc,
     )
+    # ring scratch must fit VMEM alongside the resident blocks: n_buf int8
+    # chunk-pairs (2*n_buf*chunk*C bytes) + wo (C*C) + x2/h/acc. Guard the
+    # degenerate chunk==H case (H with no 128-aligned divisor <= target ->
+    # _pick_chunk returns H, i.e. n_buf FULL copies of w1/w2 in VMEM).
+    ring_bytes = 2 * n_buf * chunk * C + C * C + 3 * B * C * 4
+    if ring_bytes > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused_proj_mlp_q8_ring: ring scratch {ring_bytes/2**20:.0f} MiB "
+            f"exceeds the 100 MiB VMEM budget (C={C}, H={H}, chunk={chunk}, "
+            f"n_buf={n_buf}) — pass a smaller chunk"
+        )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kern,
         in_specs=[

@@ -189,6 +189,10 @@ def stage2():
         except Exception as e:  # OOM at large batch: report and continue the sweep
             print(f"# stage2 bs{bs}x{accum}{'r' if remat else ''}: "
                   f"FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
+            # drop the failed point's executable + oversized buffers so dead
+            # HBM can't poison the next sweep point
+            del step, batch, state
+            jax.clear_caches()
             continue
         print(f"# stage2 compile+first step: {time.time()-t0:.1f}s", flush=True)
         N = 8
