@@ -36,14 +36,22 @@ RQVAE_GEOM = {  # f -> (latent hw, ch_mult, attn res)  (reference rq_defaults.ya
 }
 
 TRANSFORMERS = {  # model -> (embed_dim, body_d>1, head_d>1, body_d1, n_head)
-    "huge": (1536, 42, 6, 48, 24),
-    "large": (1536, 24, 4, 28, 24),
-    "medium": (1280, 18, 4, 22, 20),
-    "small": (768, 24, 4, 28, 12),
+    # reference-exact zoo (measure_throughput/__main__.py:69-211)
+    "huge": (1536, 42, 6, 48, 24),    # 1400M (:70-92)
+    "large": (1536, 24, 4, 28, 24),   # 800M  (:94-116)
+    "medium": (1024, 24, 4, 28, 16),  # 350M  (:118-140)
+    "small": (512, 24, 4, 28, 8),     # 90M   (:142-164)
     # the cc3m text-conditional 650M (configs/cc3m/cc3m-rqtransformer-
     # 8x8x4-650M.yaml): embed 1280, body 26, head 4, nh 20; pair with
     # cond_len=32 vocab_cond=16384 for the real text geometry
     "650M": (1280, 26, 4, 26, 20),
+}
+
+# named VQGAN baselines (reference :166-211): body-only stacks pinned to an
+# exact f16-d1 geometry — (embed_dim, body_n_layer, n_head, f, codebook)
+VQGAN_TRANSFORMERS = {
+    "vqgan_large": (1664, 24, 16, 16, 1024),   # 800M,  f16-d1-c1024
+    "vqgan_huge": (1536, 48, 24, 16, 16384),   # 1400M, f16-d1-c16384
 }
 
 
@@ -65,7 +73,16 @@ def build(f, model_name, depth, codebook_size, cond_len=1, vocab_cond=1000):
     )
     vqvae = create_rqvae(arch_vq)
 
-    embed_dim, body_l, head_l, body_l_d1, n_head = TRANSFORMERS[model_name]
+    if model_name in VQGAN_TRANSFORMERS:
+        embed_dim, body_l_d1, n_head, f_req, c_req = VQGAN_TRANSFORMERS[model_name]
+        if f != f_req or depth != 1 or codebook_size != c_req:
+            raise ValueError(
+                f"{model_name} only works with f{f_req}-d1-c{c_req} "
+                f"(reference measure_throughput/__main__.py:173,196)"
+            )
+        body_l, head_l = body_l_d1, 0
+    else:
+        embed_dim, body_l, head_l, body_l_d1, n_head = TRANSFORMERS[model_name]
     arch_t = dict(
         type="rq-transformer",
         vocab_size=codebook_size,

@@ -775,6 +775,44 @@ def _pallas_attn_sharded(
     )(q2, k2, v2, k_l, v_l, cur_len)
 
 
+def _pallas_attn_q8_sharded(
+    q2, k2, v2, kq_l, ks_l, vq_l, vs_l, cur_len, n_head, W, mesh, interpret,
+    fused,
+):
+    """The int8-cache decode-attention kernels per tensor-parallel shard.
+
+    Same Megatron decomposition as _pallas_attn_sharded: each device holds
+    its head group's int8 value blocks [B_local, T, C/tp] AND the matching
+    slice of the per-(token, head) scale tensors [B_local, T, n_head/tp] —
+    heads never mix, so the scales shard cleanly along their head axis.
+    With `fused` the in-kernel quantize + 4-buffer aliased write happens on
+    the local blocks (the aliasing is per-shard, exactly the single-chip
+    layout)."""
+    from jax.sharding import PartitionSpec as P
+
+    from rqvae_tpu.ops import attention_kernel as _AK
+    from rqvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    nh_local = n_head // n_model
+    row = P(DATA_AXIS, MODEL_AXIS)
+    cch = P(DATA_AXIS, None, MODEL_AXIS)  # [B, T, C] and [B, T, nh] alike
+    kernel = _AK.decode_attention_q8_update if fused else _AK.decode_attention_q8
+
+    def f(qs, ks_, vs_, kql, ksl, vql, vsl, cl):
+        return kernel(
+            qs, ks_, vs_, kql, ksl, vql, vsl, cl, nh_local,
+            t_window=W, interpret=interpret,
+        )
+
+    return jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(row, row, row, cch, cch, cch, cch, P()),
+        out_specs=(row, cch, cch, cch, cch) if fused else row,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )(q2, k2, v2, kq_l, ks_l, vq_l, vs_l, cur_len)
+
+
 def _decode_attention_xla(q, k, v, k_l, v_l, cur_len, n_head, mode="auto", v_mode="vpu"):
     """S=1 attention against one layer's [B, T, C] cache (same math as
     stack_step's attention_decode).
@@ -913,10 +951,9 @@ def stack_step_unrolled(
         # back to the XLA-dequant path when the allocation is not aligned
         if not ((-(-t_max // 32) * 32 <= cache_T) or cache_T % 32 == 0):
             attn_backend = "mxu" if B >= 150 else "vpu"
-    assert not (q8_cache and mesh is not None), (
-        "kv_q8 is not wired for tensor-parallel meshes "
-        "(sampling._tp_safe_policy disables it)"
-    )
+    # q8 cache under a TP mesh: the Pallas kernels run per shard via
+    # _pallas_attn_q8_sharded (head-sliced scale tensors); the XLA-dequant
+    # fallback below is mesh-agnostic (GSPMD partitions it normally)
     dense_backend = (
         resolve_dense_backend(
             policy.dense, batch=B, C=C, dtype=x.dtype,
@@ -1042,16 +1079,33 @@ def stack_step_unrolled(
                         # inside the kernel (the XLA-side version was
                         # measured end-to-end neutral — the write cost ate
                         # the read saving)
-                        y, kq_wr, ks_wr, vq_wr, vs_wr = (
-                            _AK.decode_attention_q8_update(
-                                q[:, 0, :], k[:, 0, :], v[:, 0, :],
-                                kq_l, ks_l, vq_l, vs_l,
-                                cur_len, n_head, t_window=W,
-                                interpret=policy.interpret,
+                        if mesh is not None:
+                            y, kq_wr, ks_wr, vq_wr, vs_wr = (
+                                _pallas_attn_q8_sharded(
+                                    q[:, 0, :], k[:, 0, :], v[:, 0, :],
+                                    kq_l, ks_l, vq_l, vs_l,
+                                    cur_len, n_head, W, mesh,
+                                    policy.interpret, fused=True,
+                                )
                             )
-                        )
+                        else:
+                            y, kq_wr, ks_wr, vq_wr, vs_wr = (
+                                _AK.decode_attention_q8_update(
+                                    q[:, 0, :], k[:, 0, :], v[:, 0, :],
+                                    kq_l, ks_l, vq_l, vs_l,
+                                    cur_len, n_head, t_window=W,
+                                    interpret=policy.interpret,
+                                )
+                            )
                         y = y[:, None, :]
                         k_wr = (kq_wr, ks_wr, vq_wr, vs_wr)  # sentinel
+                    elif mesh is not None:
+                        y = _pallas_attn_q8_sharded(
+                            q[:, 0, :], k[:, 0, :], v[:, 0, :],
+                            kq_l, ks_l, vq_l, vs_l,
+                            cur_len, n_head, W, mesh,
+                            policy.interpret, fused=False,
+                        )[:, None, :]
                     else:
                         y = _AK.decode_attention_q8(
                             q[:, 0, :], k[:, 0, :], v[:, 0, :],

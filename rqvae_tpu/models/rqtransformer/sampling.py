@@ -174,13 +174,16 @@ def _tp_safe_policy(policy: M.DecodePolicy) -> M.DecodePolicy:
     resolve_attn_backend (which receives the mesh at every decode call
     site) applies legality and the vpu/mxu crossovers to the PER-DEVICE
     geometry (C and heads / model axis, batch / data axis).
+    The q8 fused-write kernel runs per-shard too (_pallas_attn_q8_sharded):
+    the [B, T, n_head] scale tensors shard along their head axis with the
+    Megatron head groups, so kv_q8 passes through unchanged. (Where the
+    kernel is per-shard illegal the XLA fallback dequantizes the cache each
+    step — correct but slower than bf16; same policy note as single-chip.)
     The DENSE kernels and the megakernel stay opaque custom calls with no
     partition rule (their weight operands are the sharded tensors), so
-    dense is pinned to XLA. kv_q8 is off: the q8 scale tensors' [B, T,
-    n_head] layout has no clean model-axis sharding, and the XLA fallback
-    re-materializes the bf16 cache every step — strictly worse than bf16."""
+    dense is pinned to XLA."""
     dense = policy.dense if policy.dense not in ("auto", "pallas", "mega") else "xla"
-    return policy._replace(dense=dense, kv_q8=False)
+    return policy._replace(dense=dense)
 
 
 def sample(

@@ -304,3 +304,46 @@ def test_tensor_parallel_sampling_uses_pallas_kernel_per_shard():
             top_k=16, policy=policy,
         )
     np.testing.assert_array_equal(np.asarray(codes_single), np.asarray(codes_tp))
+
+
+def test_tensor_parallel_sampling_kv_q8_kernel_per_shard():
+    """TP serving with the int8 KV cache: the q8 fused-write kernel runs
+    per shard (model._pallas_attn_q8_sharded) — each device quantizes and
+    aliases its own [B_local, T, C/tp] int8 blocks plus the head-sliced
+    [B_local, T, nh/tp] scale tensors. Per-(row, head) quantization is
+    shard-local (head groups never mix), so the TP codes must bit-match the
+    single-device q8 kernel. Interpret mode on the 2x4 CPU mesh."""
+    arch = dict(
+        type="rq-transformer", vocab_size=64, block_size=[6, 6, 1],
+        embed_dim=512, input_embed_dim=0, shared_tok_emb=False,
+        shared_cls_emb=False, input_emb_vqvae=False, head_emb_vqvae=False,
+        cumsum_depth_ctx=False, vocab_size_cond=8, block_size_cond=1,
+        body={"n_layer": 2, "block": {"n_head": 8}},
+        head={"n_layer": 1, "block": {"n_head": 8}},
+    )
+    config = TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
+    params = M.init_transformer_params(jax.random.PRNGKey(0), config)
+    B = 16
+    cond = jnp.arange(B, dtype=jnp.int32) % 8
+    policy = M.DecodePolicy(
+        attn="pallas", unroll=True, interpret=True, kv_q8=True
+    )
+
+    codes_single = S.sample(
+        params, config, jax.random.PRNGKey(2), B, cond=cond,
+        top_k=16, policy=policy,
+    )
+
+    mesh = mesh_lib.create_mesh(2, 4)
+    # _tp_safe_policy must KEEP kv_q8 under the mesh (it used to drop it)
+    assert S._tp_safe_policy(policy).kv_q8
+    params_tp = mesh_lib.shard_pytree(
+        params, mesh_lib.transformer_param_specs(params), mesh
+    )
+    cond_sh = jax.device_put(cond, NamedSharding(mesh, P("data")))
+    with mesh:
+        codes_tp = S.sample(
+            params_tp, config, jax.random.PRNGKey(2), B, cond=cond_sh,
+            top_k=16, policy=policy,
+        )
+    np.testing.assert_array_equal(np.asarray(codes_single), np.asarray(codes_tp))

@@ -137,3 +137,49 @@ def test_measure_throughput_650m_text_geometry():
     assert tconf.head.n_layer == 4
     assert tconf.block_size_cond == 32
     assert tconf.vocab_size_cond == 16384
+
+
+def test_measure_throughput_zoo_matches_reference():
+    """The model zoo geometries are pinned to the reference's exact numbers
+    (reference measure_throughput/__main__.py:69-211): embed/nh/body/head for
+    huge/large/medium/small at d=4 and d=1, plus the f16-d1-locked
+    vqgan_large/vqgan_huge variants and their geometry guards."""
+    import importlib.util
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "measure_throughput", os.path.join(REPO, "cli", "measure_throughput.py")
+    )
+    mt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mt)
+
+    # (model, f, d) -> (embed, nh, body, head); reference line cited per row
+    expect = {
+        ("huge", 32, 4): (1536, 24, 42, 6),      # :70-92
+        ("huge", 16, 1): (1536, 24, 48, 0),
+        ("large", 32, 4): (1536, 24, 24, 4),     # :94-116
+        ("large", 16, 1): (1536, 24, 28, 0),
+        ("medium", 32, 4): (1024, 16, 24, 4),    # :118-140
+        ("medium", 16, 1): (1024, 16, 28, 0),
+        ("small", 32, 4): (512, 8, 24, 4),       # :142-164
+        ("small", 16, 1): (512, 8, 28, 0),
+        ("vqgan_large", 16, 1): (1664, 16, 24, 0),  # :166-188 (c1024)
+        ("vqgan_huge", 16, 1): (1536, 24, 48, 0),   # :190-211 (c16384)
+    }
+    for (name, f, d), (embed, nh, body, head) in expect.items():
+        c = 1024 if name == "vqgan_large" else 16384
+        _, tconf = mt.build(f, name, d, c)
+        assert tconf.embed_dim == embed, (name, f, d)
+        assert tconf.body.n_head == nh, (name, f, d)
+        assert tconf.body.n_layer == body, (name, f, d)
+        assert tconf.head.n_layer == head, (name, f, d)
+        assert tuple(tconf.block_size)[:2] == ({32: (8, 8), 16: (16, 16)}[f])
+
+    # the reference raises on any other geometry for the vqgan variants
+    with pytest.raises(ValueError):
+        mt.build(32, "vqgan_large", 1, 1024)   # wrong f
+    with pytest.raises(ValueError):
+        mt.build(16, "vqgan_large", 4, 1024)   # wrong depth
+    with pytest.raises(ValueError):
+        mt.build(16, "vqgan_huge", 1, 1024)    # wrong codebook
