@@ -1044,7 +1044,11 @@ def stack_step_unrolled(
             from rqvae_tpu.ops import decode_layer_kernel as _DK
 
             if dense_q8:
-                qkv = _DK.fused_ln_qkv_q8(
+                # ring variant (tools/exp_qkv_ring.py): the QKV stream is
+                # only 3 chunks at the default size, so the 2-deep grid
+                # pipeline's ramp latency costs ~5% — the 3-deep ring
+                # recovers it (0.45 -> 0.43 ms on the 16-layer chain)
+                qkv = _DK.fused_ln_qkv_q8_ring(
                     x[:, 0, :], lp["ln1"]["scale"], lp["ln1"]["bias"],
                     lp["attn"]["wqkv"].q, lp["attn"]["wqkv"].scale,
                     lp["attn"]["bqkv"], interpret=policy.interpret,

@@ -193,6 +193,102 @@ def fused_ln_qkv_q8(
     )
 
 
+def _ln_qkv_q8_ring_kernel(
+    x_ref, lns_ref, lnb_ref, w_hbm, ws_ref, b_ref, o_ref,
+    w_buf, sem, h_s,
+    *, chunk: int, n_buf: int, nc: int,
+):
+    """int8 LN+QKV with an explicit n_buf-deep DMA ring.
+
+    Same rationale as _proj_mlp_q8_ring_kernel: at int8 the column chunks
+    are half the bytes of bf16, so pallas' 2-deep grid pipeline leaves DMA
+    issue/ramp latency exposed — the explicit ring keeps n_buf - 1 chunk
+    fills in flight during each MXU dot (measured on the isolated 16-layer
+    chain, tools/exp_q8_pipeline.py qkv mode). wqkv stays in HBM
+    (memory_space=ANY); the [C, chunk] int8 slices stream through the VMEM
+    ring. Same op order as the grid kernel (_ln_qkv_q8_kernel):
+    bit-identical in interpret mode."""
+    cd = x_ref.dtype
+    prec = _prec(cd)
+
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            w_hbm.at[:, pl.dslice(j * chunk, chunk)], w_buf.at[slot],
+            sem.at[slot],
+        )
+
+    for j in range(min(n_buf, nc)):
+        dma(j, j).start()
+
+    h_s[:] = _ln(x_ref[:], lns_ref[:], lnb_ref[:], cd)
+
+    # static unroll: nc is a trace-time constant (3 at C=1536/N=4608
+    # chunk=1536, 6 at the 3.8B's N=7680/chunk=1280)
+    for j in range(nc):
+        slot = j % n_buf
+        dma(slot, j).wait()
+        acc = jnp.dot(
+            h_s[:], w_buf[slot].astype(cd),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        sl = pl.dslice(j * chunk, chunk)
+        o_ref[:, sl] = (
+            acc * ws_ref[:, sl].astype(jnp.float32)
+            + b_ref[:, sl].astype(jnp.float32)
+        ).astype(cd)
+        if j + n_buf < nc:  # refill this slot AFTER the compute that read it
+            dma(slot, j + n_buf).start()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "n_buf", "interpret")
+)
+def fused_ln_qkv_q8_ring(
+    x, ln_scale, ln_bias, wqkv_q, wqkv_scale, bqkv,
+    chunk=768, n_buf=3, interpret=False,
+):
+    """fused_ln_qkv_q8 with the explicit DMA ring (see
+    _ln_qkv_q8_ring_kernel). chunk=768 / n_buf=3 measured best on the
+    16-layer dependent QKV chain at bs100 (tools/exp_qkv_ring.py:
+    grid 0.45 -> ring 0.43 ms, 252 -> 265 GB/s int8)."""
+    B, C = x.shape
+    N = wqkv_q.shape[1]
+    if N % min(chunk, N):
+        chunk = _pick_chunk(N, chunk)
+    chunk = min(chunk, N)
+    nc = N // chunk
+    n_buf = min(n_buf, nc)
+    # ring scratch + the resident output block must fit VMEM (same guard
+    # rationale as the proj+MLP ring; the QKV ring is much smaller)
+    ring_bytes = n_buf * C * chunk + B * N * x.dtype.itemsize + B * C * 4
+    if ring_bytes > 100 * 1024 * 1024:
+        raise ValueError(
+            f"fused_ln_qkv_q8_ring: ring scratch {ring_bytes/2**20:.0f} MiB "
+            f"exceeds the 100 MiB VMEM budget (C={C}, N={N}, chunk={chunk}, "
+            f"n_buf={n_buf}) — pass a smaller chunk"
+        )
+    kern = functools.partial(
+        _ln_qkv_q8_ring_kernel, chunk=chunk, n_buf=n_buf, nc=nc
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kern,
+        in_specs=[vmem, vmem, vmem, hbm, vmem, vmem],
+        out_specs=vmem,
+        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_buf, C, chunk), jnp.int8),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+            pltpu.VMEM((B, C), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv_q, wqkv_scale.reshape(1, N), bqkv.reshape(1, N))
+
+
 def _proj_mlp_kernel(
     x_ref, y_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
     w1_ref, b1_ref, w2_ref, b2_ref, o_ref, x2_s, h_s, acc_s,

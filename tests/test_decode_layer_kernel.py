@@ -91,6 +91,32 @@ def test_fused_ln_qkv_q8_matches_xla(dt, tol):
 
 
 @pytest.mark.parametrize("dt,tol", [(jnp.float32, 2e-4), (jnp.bfloat16, 0.1)])
+@pytest.mark.parametrize("n_buf", [2, 3])
+def test_fused_ln_qkv_q8_ring_matches_xla(dt, tol, n_buf):
+    """The DMA-ring q8 QKV kernel == XLA, and bit-identical to the grid
+    q8 QKV kernel in interpret mode (same op order)."""
+    p = _mk(dt)
+    wq = M._quantize_weight(p["wqkv"])
+    h = M.layer_norm(p["x"], p["lns"], p["lnb"])
+    ref = (h @ wq.q.astype(dt)) * wq.scale.astype(dt) + p["bqkv"]
+    got = DL.fused_ln_qkv_q8_ring(
+        p["x"], p["lns"], p["lnb"], wq.q, wq.scale, p["bqkv"],
+        chunk=256, n_buf=n_buf, interpret=True,
+    )
+    err = np.abs(
+        np.asarray(ref, np.float32) - np.asarray(got, np.float32)
+    ).max()
+    assert err < tol, err
+    grid = DL.fused_ln_qkv_q8(
+        p["x"], p["lns"], p["lnb"], wq.q, wq.scale, p["bqkv"],
+        chunk=256, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(grid, np.float32)
+    )
+
+
+@pytest.mark.parametrize("dt,tol", [(jnp.float32, 2e-4), (jnp.bfloat16, 0.1)])
 @pytest.mark.parametrize("gelu_version", ["v1", "v2"])
 def test_fused_proj_mlp_q8_matches_xla(dt, tol, gelu_version):
     p = _mk(dt)
