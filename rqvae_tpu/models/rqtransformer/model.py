@@ -223,6 +223,12 @@ class DecodePolicy(NamedTuple):
     # matrices (ops/attention_kernel.py q8 section). Opt-in — quantization
     # perturbs the sampled distribution (bounded by tests/test_decode_modes).
     kv_q8: bool = False
+    # fold the attention OUTPUT PROJECTION + residual + LN2 into the q8
+    # fused-write attention kernel (decode_attention_q8_update_wo):
+    # boundary-reduction experiment — removes the XLA wo dot, the ln2
+    # convert_reduce fusion and the y round-trip per layer. Requires kv_q8
+    # + the pallas fused-write path; single-chip only.
+    attn_wo: bool = False
     # run Pallas kernels in interpret mode (slow, any backend). NOT
     # env-resolved: set only by CPU-mesh tests and multichip dryruns that
     # must EXECUTE the kernel paths without a real TPU.
@@ -270,9 +276,10 @@ def decode_policy_from_env() -> DecodePolicy:
         phases = 2
     exact = _get("RQVAE_TPU_SAMPLE_EXACT") in ("1", "true", "yes")
     kv_q8 = _get("RQVAE_TPU_KV_Q8") in ("1", "true", "yes")
+    attn_wo = _get("RQVAE_TPU_ATTN_WO") in ("1", "true", "yes")
     return DecodePolicy(
         attn=attn, attn_v=attn_v, dense=dense, unroll=unroll,
-        phases=phases, exact_sample=exact, kv_q8=kv_q8,
+        phases=phases, exact_sample=exact, kv_q8=kv_q8, attn_wo=attn_wo,
     )
 
 
@@ -1078,6 +1085,46 @@ def stack_step_unrolled(
                 # (alignment of the result is part of _pallas_attn_legal)
                 if q8_cache:
                     W = min(cache_T, -(-t_max // 32) * 32)
+                    wo_foldable = (
+                        policy.attn_wo
+                        and mesh is None
+                        and cache_T % 32 == 0
+                        and not dense_ok
+                        and S == 1
+                    )
+                    if wo_foldable:
+                        # wo projection + residual + LN2 folded into the
+                        # fused-write kernel (boundary-reduction experiment;
+                        # see DecodePolicy.attn_wo)
+                        wo_p = lp["attn"]["wo"]
+                        if isinstance(wo_p, QuantizedWeight):
+                            wo_arr, wo_sc = wo_p.q, wo_p.scale
+                        else:
+                            wo_arr = wo_p
+                            wo_sc = jnp.ones((C,), jnp.float32)
+                        x2f, h2f, kq_wr, ks_wr, vq_wr, vs_wr = (
+                            _AK.decode_attention_q8_update_wo(
+                                q[:, 0, :], k[:, 0, :], v[:, 0, :],
+                                kq_l, ks_l, vq_l, vs_l, cur_len,
+                                x[:, 0, :], wo_arr, wo_sc, lp["attn"]["bo"],
+                                lp["ln2"]["scale"], lp["ln2"]["bias"],
+                                n_head, t_window=W,
+                                interpret=policy.interpret,
+                            )
+                        )
+                        k_wr = (kq_wr, ks_wr, vq_wr, vs_wr)  # sentinel
+                        # MLP directly from the kernel's h2; skip the
+                        # default tail entirely
+                        m = _mm(
+                            gelu(
+                                _mm(h2f, lp["mlp"]["w1"]) + lp["mlp"]["b1"],
+                                cfg.gelu,
+                            ),
+                            lp["mlp"]["w2"],
+                        ) + lp["mlp"]["b2"]
+                        x = (x2f + m)[:, None, :]
+                        new_caches.append(k_wr)
+                        continue
                     if cache_T % 32 == 0:
                         # fused write: quantize + 4-buffer cache update
                         # inside the kernel (the XLA-side version was

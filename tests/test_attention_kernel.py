@@ -199,3 +199,57 @@ def test_decode_attention_q8_update_matches_separate_path():
         np.testing.assert_array_equal(np.asarray(ks2), np.asarray(upd(ks, ksn)))
         np.testing.assert_array_equal(np.asarray(vq2), np.asarray(upd(vq, vqn)))
         np.testing.assert_array_equal(np.asarray(vs2), np.asarray(upd(vs, vsn)))
+
+
+def test_decode_attention_q8_update_wo_matches_separate_path():
+    """The wo-folded kernel (attention + output projection + residual + LN2
+    in one custom call, DecodePolicy.attn_wo) must match the composition of
+    decode_attention_q8_update and the XLA-side
+    x2 = x + (y @ wo_q)*scale + bo; h2 = LN2(x2) within bf16 rounding, and
+    leave all four caches bit-equal."""
+    from rqvae_tpu.models.rqtransformer import model as M
+    from rqvae_tpu.ops.attention_kernel import (
+        decode_attention_q8_update,
+        decode_attention_q8_update_wo,
+    )
+
+    r = np.random.RandomState(13)
+    Br, Tc = 12, 32
+    q = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    kn = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    vn = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    x = jnp.asarray(r.randn(Br, C), jnp.bfloat16)
+    kc = jnp.asarray(r.randn(Br, Tc, C).astype(np.float32))
+    vc = jnp.asarray(r.randn(Br, Tc, C).astype(np.float32))
+    kq, ks = jax.vmap(quantize_kv, in_axes=(1, None), out_axes=1)(kc, NH)
+    vq, vs = jax.vmap(quantize_kv, in_axes=(1, None), out_axes=1)(vc, NH)
+    ks, vs = ks.astype(jnp.bfloat16), vs.astype(jnp.bfloat16)
+    wo = M._quantize_weight(jnp.asarray(r.randn(C, C).astype(np.float32) * 0.05))
+    bo = jnp.asarray(r.randn(C).astype(np.float32) * 0.01)
+    lns = jnp.asarray(1.0 + 0.1 * r.randn(C).astype(np.float32))
+    lnb = jnp.asarray(0.1 * r.randn(C).astype(np.float32))
+
+    for cur in (9, 31):
+        cur_len = jnp.int32(cur)
+        y, kq2, ks2, vq2, vs2 = decode_attention_q8_update(
+            q, kn, vn, kq, ks, vq, vs, cur_len, NH, interpret=True
+        )
+        cd = jnp.bfloat16
+        proj = (y.astype(cd) @ wo.q.astype(cd)).astype(jnp.float32) * wo.scale
+        x2_ref = x + (proj + bo).astype(cd)
+        h2_ref = M.layer_norm(x2_ref, lns, lnb)
+
+        x2, h2, kq3, ks3, vq3, vs3 = decode_attention_q8_update_wo(
+            q, kn, vn, kq, ks, vq, vs, cur_len,
+            x, wo.q, wo.scale, bo, lns, lnb, NH, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(x2, np.float32), np.asarray(x2_ref, np.float32),
+            rtol=0, atol=0.06,
+        )
+        np.testing.assert_allclose(
+            np.asarray(h2, np.float32), np.asarray(h2_ref, np.float32),
+            rtol=0, atol=0.06,
+        )
+        for a, b in ((kq2, kq3), (ks2, ks3), (vq2, vq3), (vs2, vs3)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

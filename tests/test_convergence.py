@@ -41,3 +41,22 @@ def test_stage1_and_stage2_learn():
     # 48 CPU steps reach ~0.57x (measured); the on-chip run
     # (tools/train_convergence.py, 800 steps) asserts the strong 0.3x bound
     assert s2["last_loss"] < 0.7 * s2["first_loss"], s2
+
+
+def test_stage2_text_conditional_learns():
+    """The TEXT-conditional trainer learns: cond_classifier txt-weighted
+    loss live (caption prefix, reference transformers.py:101-105,151-153),
+    both the image xent and the caption xent must decrease on a tiny fixed
+    set. The on-chip run (tools/train_convergence.py text) closes the
+    prompt -> sample -> decode loop and commits convergence_text.json."""
+    state, model, s1, data = TC.run_stage1(
+        steps=24, res=32, bs=8, n_images=16, small=True, fetch_every=4,
+        save_artifacts=False, seed=0,
+    )
+    st = TC.run_stage2_text(
+        state, model, data, steps=48, bs=8, small=True, fetch_every=8,
+        save_artifacts=False, seed=20, cond_len=4, vocab_cond=16,
+    )
+    assert np.isfinite(st["last_loss"]) and np.isfinite(st["last_loss_txt"])
+    assert st["last_loss"] < 0.7 * st["first_loss"], st
+    assert st["last_loss_txt"] < 0.8 * st["first_loss_txt"], st

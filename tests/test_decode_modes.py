@@ -491,3 +491,62 @@ def test_q8_cache_pallas_dispatch_executes_on_cpu_interpret():
                     atol=tol, rtol=2e-2,
                     err_msg=f"q8 cache write diverged (T={T}, fused={fused})",
                 )
+
+
+def test_q8_attn_wo_fold_dispatch_executes_on_cpu_interpret():
+    """The attn_wo dispatch in stack_step_unrolled (wo projection +
+    residual + LN2 folded into the q8 fused-write kernel,
+    DecodePolicy.attn_wo) EXECUTES here in interpret mode and matches the
+    unfolded q8 pallas path layer output AND cache writes. Covers both
+    int8-quantized and plain wo weights."""
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+    arch = dict(
+        type="rq-transformer", vocab_size=32, block_size=[4, 4, 2],
+        embed_dim=128, input_embed_dim=16, shared_tok_emb=True,
+        shared_cls_emb=True, input_emb_vqvae=False, head_emb_vqvae=False,
+        cumsum_depth_ctx=True, vocab_size_cond=4, block_size_cond=1,
+        body={"n_layer": 2, "block": {"n_head": 2}},
+        head={"n_layer": 1, "block": {"n_head": 2}},
+    )
+    config = TransformerConfig.create(
+        augment_arch_defaults(Config(arch)).to_dict()
+    )
+    params = M.init_transformer_params(jax.random.PRNGKey(0), config)
+    B, T = 4, 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, 128), jnp.float32)
+    pk_pol = M.DecodePolicy(attn="pallas", unroll=True, interpret=True)
+    wo_pol = pk_pol._replace(attn_wo=True)
+
+    for quantized in (False, True):
+        p = M.quantize_transformer_params(params) if quantized else params
+        lps = M.split_layer_params(p["body"], config.body)
+        caches = M.init_unrolled_kv_cache_q8(config.body, B, T)
+        pre, caches = M.stack_step_unrolled(
+            lps, jnp.tile(x, (1, 3, 1)), caches, jnp.int32(0),
+            config.body, policy=M.DecodePolicy(attn="vpu", unroll=True),
+        )
+        cur_len = jnp.int32(3)
+        y0, c0 = M.stack_step_unrolled(
+            lps, x, caches, cur_len, config.body, policy=pk_pol
+        )
+        y1, c1 = M.stack_step_unrolled(
+            lps, x, caches, cur_len, config.body, policy=wo_pol
+        )
+        np.testing.assert_allclose(
+            np.asarray(y1, np.float32), np.asarray(y0, np.float32),
+            rtol=3e-3, atol=3e-3,
+            err_msg=f"attn_wo fold diverged (quantized={quantized})",
+        )
+        # layer 1's write is bit-equal; deeper layers see an activation that
+        # differs by the folded wo dot's fp rounding, so their k/v rows may
+        # quantize +-1 code apart (same tolerance as the q8 dispatch test)
+        for t0, t1 in zip(c0, c1):
+            for a, b in zip(t0, t1):
+                tol = 1.0 if a.dtype == jnp.int8 else 2e-2
+                np.testing.assert_allclose(
+                    np.asarray(b, np.float32), np.asarray(a, np.float32),
+                    atol=tol, rtol=2e-2,
+                    err_msg=f"attn_wo cache write diverged (quantized={quantized})",
+                )

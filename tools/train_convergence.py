@@ -349,21 +349,157 @@ def run_stage2(stage1_state, model, data, steps=STEPS2, bs=BS, small=False,
     return summary
 
 
+def build_stage2_text_config(code_shape, vocab, vocab_cond, cond_len, small=False):
+    from rqvae_tpu.models.rqtransformer.config import TransformerConfig
+    from rqvae_tpu.utils.config import Config, augment_arch_defaults
+
+    h, w, d = code_shape
+    arch = dict(
+        type="rq-transformer", vocab_size=vocab, block_size=[h, w, d],
+        embed_dim=128 if small else 512, input_embed_dim=16 if small else 256,
+        shared_tok_emb=True, shared_cls_emb=True,
+        input_emb_vqvae=True, head_emb_vqvae=True, cumsum_depth_ctx=True,
+        vocab_size_cond=vocab_cond, block_size_cond=cond_len,
+        body={"n_layer": 2 if small else 8, "block": {"n_head": 4 if small else 8}},
+        head={"n_layer": 1 if small else 2, "block": {"n_head": 4 if small else 8}},
+    )
+    return TransformerConfig.create(augment_arch_defaults(Config(arch)).to_dict())
+
+
+def make_captions(n_images, cond_len=8, vocab_cond=64, seed=7):
+    """Deterministic unique 'caption' per image: cond_len tokens over a
+    vocab_cond-token vocabulary (the procedural stand-in for cc3m's BPE
+    prompts — this environment has zero egress for real captions)."""
+    rs = np.random.RandomState(seed)
+    caps = rs.randint(0, vocab_cond, (n_images, cond_len))
+    caps[:, 0] = np.arange(n_images) % vocab_cond  # disambiguating lead token
+    return caps.astype(np.int32)
+
+
+def run_stage2_text(stage1_state, model, data, steps=STEPS2, bs=BS, small=False,
+                    fetch_every=20, save_artifacts=True, seed=20,
+                    cond_len=8, vocab_cond=64):
+    """Text-conditional convergence (cc3m-style geometry, VERDICT r4 item 6):
+    overfit a caption-per-image RQ-Transformer with the cond_classifier
+    txt-weighted loss LIVE (reference configs/cc3m/*650M.yaml txt_weight;
+    transformers.py:101-105,151-153), then close the loop: prompt ->
+    sample(top_k=1) -> decode -> codes-match + pixel MSE."""
+    import optax
+    from rqvae_tpu.models.rqvae.model import RQVAE
+    from rqvae_tpu.models.rqtransformer import sampling as S
+    from rqvae_tpu.trainers import trainer_stage2 as t2
+
+    n_images = data.shape[0]
+    vq_vars = {"params": stage1_state.params, "codebook": stage1_state.codebook}
+    vq_state = stage1_state.codebook["state"]
+    vq_config = model.quantizer_config
+
+    codes = fetch(jax.jit(
+        lambda xs: model.apply(vq_vars, xs, method=RQVAE.get_codes)
+    )(jnp.asarray(data)))
+    captions = make_captions(n_images, cond_len, vocab_cond)
+    print(f"# stage2-text: codes {codes.shape}, captions {captions.shape}",
+          flush=True)
+
+    tconf = build_stage2_text_config(
+        codes.shape[1:], vq_config.n_embed[0], vocab_cond, cond_len, small
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(1e-3 if small else 3e-4, b1=0.9, b2=0.95, weight_decay=0.0),
+    )
+    state = t2.init_state(jax.random.PRNGKey(seed), tconf, tx, use_ema=False)
+    step = jax.jit(
+        t2.make_train_step(
+            tconf,
+            t2.Stage2LossConfig(use_soft_target=False, txt_weight=0.1,
+                                img_weight=0.9),
+            tx, vq_state=vq_state, vq_config=vq_config,
+        ),
+        donate_argnums=(0,),
+    )
+
+    rng = jax.random.PRNGKey(seed + 1)
+    order_rs = np.random.RandomState(seed + 2)
+    traj = {"step": [], "loss_total": [], "loss_txt": []}
+    pending = []
+    t0 = time.time()
+    codes_j = jnp.asarray(codes)
+    caps_j = jnp.asarray(captions)
+    for s in range(steps):
+        idx = order_rs.choice(n_images, bs, replace=False)
+        batch = {"codes": codes_j[idx], "cond": caps_j[idx]}
+        state, metrics = step(state, batch, rng)
+        if s % fetch_every == 0 or s == steps - 1:
+            pending.append((s, metrics))
+    for s, m in pending:
+        traj["step"].append(s)
+        traj["loss_total"].append(float(fetch(m["loss_total"])))
+        traj["loss_txt"].append(float(fetch(m["loss_txt"])))
+    dt = time.time() - t0
+    print(f"# stage2-text {steps} steps in {dt:.0f}s "
+          f"({dt/steps*1000:.0f} ms/step)", flush=True)
+
+    # ---- close the loop: prompt with each caption, argmax-sample, decode
+    n_show = min(8, n_images)
+    cond = caps_j[:n_show]
+    sampled = fetch(S.sample(
+        state.params, tconf, jax.random.PRNGKey(seed + 3), n_show, cond=cond,
+        vq_state=vq_state, vq_config=vq_config, temperature=1.0, top_k=1,
+    ))
+    match = float((sampled == codes[:n_show]).mean())
+    pix = fetch(jax.jit(
+        lambda c: model.apply(vq_vars, c, method=RQVAE.decode_code)
+    )(jnp.asarray(sampled)))
+    pix_mse = float(np.mean(np.square(pix - data[:n_show])))
+    recon = fetch(jax.jit(
+        lambda c: model.apply(vq_vars, c, method=RQVAE.decode_code)
+    )(jnp.asarray(codes[:n_show])))
+    recon_mse = float(np.mean(np.square(recon - data[:n_show])))
+
+    summary = {
+        "steps": steps,
+        "cond_len": cond_len,
+        "vocab_cond": vocab_cond,
+        "first_loss": traj["loss_total"][0],
+        "last_loss": traj["loss_total"][-1],
+        "first_loss_txt": traj["loss_txt"][0],
+        "last_loss_txt": traj["loss_txt"][-1],
+        "code_match_rate": match,
+        "sampled_pixel_mse": pix_mse,
+        "rqvae_recon_mse_floor": recon_mse,
+    }
+    print("# stage2-text summary:", json.dumps(summary), flush=True)
+    if save_artifacts:
+        os.makedirs(ART, exist_ok=True)
+        with open(os.path.join(ART, "convergence_text.json"), "w") as f:
+            json.dump({"trajectory": traj, "summary": summary}, f, indent=1)
+        save_grid(os.path.join(ART, "convergence_text_samples.png"),
+                  [data[:n_show], pix])
+    return summary
+
+
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "both"
     state = model = data = None
     ok = True
-    if what in ("stage1", "both"):
+    if what in ("stage1", "both", "text"):
         state, model, s1, data = run_stage1()
-        ok &= s1["last_loss_recon"] < 0.5 * s1["first_loss_recon"]
-        ok &= s1["finite"]
-    if what in ("stage2", "both"):
+        if what != "text":
+            ok &= s1["last_loss_recon"] < 0.5 * s1["first_loss_recon"]
+            ok &= s1["finite"]
+    if what in ("stage2", "both", "text"):
         if state is None:
             print("stage2 needs the stage1-trained model; run 'both'",
                   file=sys.stderr)
             sys.exit(2)
+    if what in ("stage2", "both"):
         s2 = run_stage2(state, model, data)
         ok &= s2["last_loss"] < 0.3 * s2["first_loss"]
+    if what in ("both", "text"):
+        st = run_stage2_text(state, model, data)
+        ok &= st["last_loss"] < 0.3 * st["first_loss"]
+        ok &= st["last_loss_txt"] < 0.5 * st["first_loss_txt"]
     print(json.dumps({"converged": bool(ok)}))
     sys.exit(0 if ok else 1)
 

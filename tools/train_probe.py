@@ -66,27 +66,51 @@ def stage1():
         variants += [("no-lpips", 0.0, True), ("no-disc+no-lpips", 0.0, False),
                      ("lpips-only(no-disc)", 1.0, False)]
     amp_s1 = bool(os.environ.get("PROBE_AMP_S1"))
-    batch = {"images": jax.random.uniform(jax.random.PRNGKey(1), (BS, 256, 256, 3)) * 2 - 1}
     rng = jax.random.PRNGKey(2)
-    for name, pw, use_disc in variants:
-        step = jax.jit(
-            t1.make_train_step(model, disc, lpips, lpips_vars,
-                               t1.GanLossConfig(disc_start=0, perceptual_weight=pw,
-                                                amp_bf16=amp_s1),
-                               tx, dtx, use_discriminator=use_disc),
-            donate_argnums=(0,),
-        )
-        t0 = time.time()
-        state, metrics, _ = step(state, batch, rng)
-        fetch(metrics["loss_total"])
-        print(f"# stage1 [{name}] compile+first step: {time.time()-t0:.1f}s", flush=True)
-        N = 8
-        t0 = time.time()
-        for _ in range(N):
-            state, metrics, _ = step(state, batch, rng)
-        fetch(metrics["loss_total"])
-        dt = (time.time() - t0) / N
-        print(f"# stage1 [{name}] step (bs{BS}): {dt*1000:.1f} ms -> {BS/dt:.1f} img/s/chip", flush=True)
+    # PROBE_SWEEP="16,32,64,128": batch-scaling curve in ONE process (the
+    # reference trains stage-1 at per-GPU bs 32,
+    # configs/imagenet256/stage1/in256-rqvae-8x8x4.yaml:50); MFU from XLA's
+    # own per-executable FLOP estimate (cost_analysis) over the v5e bf16
+    # peak 197 TFLOP/s
+    sweep = os.environ.get("PROBE_SWEEP", "")
+    bs_list = [int(t) for t in sweep.split(",") if t.strip()] or [BS]
+    for bs in bs_list:
+        batch = {"images": jax.random.uniform(
+            jax.random.PRNGKey(1), (bs, 256, 256, 3)) * 2 - 1}
+        for name, pw, use_disc in variants:
+            step = jax.jit(
+                t1.make_train_step(model, disc, lpips, lpips_vars,
+                                   t1.GanLossConfig(disc_start=0, perceptual_weight=pw,
+                                                    amp_bf16=amp_s1),
+                                   tx, dtx, use_discriminator=use_disc),
+                donate_argnums=(0,),
+            )
+            try:
+                flops = step.lower(state, batch, rng).compile().cost_analysis()[
+                    "flops"
+                ]
+            except Exception:
+                flops = 0.0
+            t0 = time.time()
+            try:
+                state, metrics, _ = step(state, batch, rng)
+                fetch(metrics["loss_total"])
+            except Exception as e:  # OOM at large batch: report and continue
+                print(f"# stage1 [{name}] bs{bs}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+                del step, batch
+                jax.clear_caches()
+                break
+            print(f"# stage1 [{name}] compile+first step: {time.time()-t0:.1f}s", flush=True)
+            N = 8
+            t0 = time.time()
+            for _ in range(N):
+                state, metrics, _ = step(state, batch, rng)
+            fetch(metrics["loss_total"])
+            dt = (time.time() - t0) / N
+            mfu = f", ~{flops/dt/197e12*100:.1f}% MFU" if flops else ""
+            print(f"# stage1 [{name}] step (bs{bs}): {dt*1000:.1f} ms -> "
+                  f"{bs/dt:.1f} img/s/chip{mfu}", flush=True)
     if "--trace" in sys.argv:
         os.makedirs("/tmp/jax_trace_s1", exist_ok=True)
         with jax.profiler.trace("/tmp/jax_trace_s1"):
