@@ -132,6 +132,12 @@ def main():
         return vq_vars, params
 
     vq_vars, params = init_all(*jax.random.split(jax.random.PRNGKey(0), 3))
+    # int8=1: weight-only int8 serving quantization for the transformer
+    # (models/rqtransformer/model.py::quantize_transformer_params); pair
+    # with RQVAE_TPU_KV_Q8=1 for the full int8 serving operating point
+    if kv.get("int8") in ("1", "true", "yes"):
+        params = jax.jit(M.quantize_transformer_params)(params)
+        print("int8 weight-only quantization ON")
     vq_state = vq_vars["codebook"]["state"]
     vq_config = vqvae.quantizer_config
 

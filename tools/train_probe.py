@@ -97,7 +97,7 @@ def stage1():
                 fetch(metrics["loss_total"])
             except Exception as e:  # OOM at large batch: report and continue
                 print(f"# stage1 [{name}] bs{bs}: FAILED "
-                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+                      f"({type(e).__name__}: {str(e)[:int(os.environ.get("PROBE_ERRLEN", "120"))]})", flush=True)
                 del step, batch
                 jax.clear_caches()
                 break
@@ -212,7 +212,7 @@ def stage2():
             fetch(metrics["loss_total"])
         except Exception as e:  # OOM at large batch: report and continue the sweep
             print(f"# stage2 bs{bs}x{accum}{'r' if remat else ''}: "
-                  f"FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
+                  f"FAILED ({type(e).__name__}: {str(e)[:int(os.environ.get("PROBE_ERRLEN", "120"))]})", flush=True)
             # drop the failed point's executable + oversized buffers so dead
             # HBM can't poison the next sweep point
             del step, batch, state
