@@ -21,8 +21,10 @@ Artifacts (committed): artifacts/convergence_stage1.json / _stage2.json
 (trajectories + summary), artifacts/convergence_recon.png (orig|recon),
 artifacts/convergence_samples.png (orig|sampled-decode).
 
-Usage: python tools/train_convergence.py [stage1|stage2|both]
-  STEPS1/STEPS2 env to override step counts (defaults 400/800).
+Usage: python tools/train_convergence.py [stage1|stage2|both|text|ab]
+  STEPS1/STEPS2 env to override step counts (defaults 400/800); CONV_BS
+  overrides the batch (default 16). `ab` = fp32-vs-amp_bf16 stage-1 A/B at
+  CONV_BS (writes artifacts/convergence_stage1_ab_bs{BS}.json).
 The CPU regression test (tests/test_convergence.py) runs the same loops on
 tiny geometry so a learning regression fails in CI, not on-chip.
 """
@@ -41,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
 N_IMAGES = 64
 RES = 256
-BS = 16
+BS = int(os.environ.get("CONV_BS", "16"))
 STEPS1 = int(os.environ.get("STEPS1", "400"))
 STEPS2 = int(os.environ.get("STEPS2", "800"))
 
@@ -479,8 +481,47 @@ def run_stage2_text(stage1_state, model, data, steps=STEPS2, bs=BS, small=False,
     return summary
 
 
+def run_stage1_ab(steps=STEPS1, bs=BS):
+    """fp32-vs-amp_bf16 A/B at the same batch (VERDICT r4 item 5: the
+    reference trains stage-1 at per-GPU bs 32,
+    configs/imagenet256/stage1/in256-rqvae-8x8x4.yaml:50 — show amp still
+    tracks fp32 there). Runs the SAME seed/data/step-count twice with only
+    GanLossConfig.amp_bf16 flipped; writes one comparison artifact."""
+    import os as _os
+
+    runs = {}
+    for name, amp in (("fp32", ""), ("amp_bf16", "1")):
+        _os.environ["AMP_S1"] = amp
+        t0 = time.time()
+        _, _, summary, _ = run_stage1(steps=steps, bs=bs, save_artifacts=False)
+        summary["wall_s"] = round(time.time() - t0, 1)
+        runs[name] = summary
+        print(f"# ab[{name}] bs{bs}: recon {summary['first_loss_recon']:.4f} "
+              f"-> {summary['last_loss_recon']:.4f} "
+              f"(eval mse {summary['eval_recon_mse']:.4f})", flush=True)
+    ratio = runs["amp_bf16"]["last_loss_recon"] / max(
+        runs["fp32"]["last_loss_recon"], 1e-9)
+    out = {"bs": bs, "steps": steps, "runs": runs,
+           "amp_over_fp32_last_recon": ratio}
+    os.makedirs(ART, exist_ok=True)
+    with open(os.path.join(ART, f"convergence_stage1_ab_bs{bs}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("# stage1 A/B:", json.dumps(out["runs"]), flush=True)
+    # amp tracks fp32: both finite, both halve the recon loss, and the amp
+    # endpoint is within 25% of fp32's
+    ok = (runs["fp32"]["finite"] and runs["amp_bf16"]["finite"]
+          and runs["amp_bf16"]["last_loss_recon"]
+          < 0.5 * runs["amp_bf16"]["first_loss_recon"]
+          and 0.75 < ratio < 1.25)
+    return out, ok
+
+
 def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if what == "ab":
+        _, ok = run_stage1_ab()
+        print(json.dumps({"converged": bool(ok)}))
+        sys.exit(0 if ok else 1)
     state = model = data = None
     ok = True
     if what in ("stage1", "both", "text"):
