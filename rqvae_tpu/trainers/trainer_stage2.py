@@ -80,7 +80,8 @@ def init_state(
     )
 
 
-def make_frozen_encode_fn(vqvae, vq_vars: dict, dtype=jnp.bfloat16, as_args=False):
+def make_frozen_encode_fn(vqvae, vq_vars: dict, dtype=jnp.bfloat16, as_args=False,
+                          chunk: Optional[int] = None):
     """Frozen stage-1 encode for stage-2 training, in `dtype` compute.
 
     The encoder carries no gradients and its output only feeds the code
@@ -99,7 +100,14 @@ def make_frozen_encode_fn(vqvae, vq_vars: dict, dtype=jnp.bfloat16, as_args=Fals
     through the remote-compile tunnel on every (re)compile — hundreds of MB
     per batch-size change — and large enough constants crash the compile
     helper outright. Args-mode is the production path (cli/main_stage2.py,
-    trainers/loops.py); closure mode survives for small-model tests."""
+    trainers/loops.py); closure mode survives for small-model tests.
+
+    chunk=k encodes k images at a time under lax.map: the 256px encoder's
+    peak conv temps scale with batch, so an unchunked bs-256 encode needs
+    multi-GB scratch that OOMs the step compile at big batch (the
+    batch-scaling sweep regime) — chunking caps the encoder's peak at one
+    chunk while its body compiles ONCE. No-op when B <= chunk; B must be
+    divisible by chunk (pad upstream)."""
     def cast(t):
         if dtype is None:
             return t
@@ -108,15 +116,22 @@ def make_frozen_encode_fn(vqvae, vq_vars: dict, dtype=jnp.bfloat16, as_args=Fals
     enc_vars = dict(vq_vars)
     enc_vars["params"] = jax.tree.map(cast, vq_vars["params"])
 
+    def _encode(images, variables):
+        x = images if dtype is None else images.astype(dtype)
+        B = x.shape[0]
+        if chunk and B > chunk and B % chunk == 0:
+            xc = x.reshape(B // chunk, chunk, *x.shape[1:])
+            z = jax.lax.map(
+                lambda c: vqvae.apply(variables, c, method=type(vqvae).encode), xc
+            )
+            return z.reshape(B, *z.shape[2:])
+        return vqvae.apply(variables, x, method=type(vqvae).encode)
+
     if as_args:
-        def encode_fn(images, variables):
-            x = images if dtype is None else images.astype(dtype)
-            return vqvae.apply(variables, x, method=type(vqvae).encode)
-        return encode_fn, enc_vars
+        return _encode, enc_vars
 
     def encode_fn(images):
-        x = images if dtype is None else images.astype(dtype)
-        return vqvae.apply(enc_vars, x, method=type(vqvae).encode)
+        return _encode(images, enc_vars)
 
     return encode_fn
 

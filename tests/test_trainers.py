@@ -181,6 +181,37 @@ class TestStage2:
         err = float(np.abs(np.asarray(zb16, np.float32) - np.asarray(z32)).mean())
         assert err < 0.05 * scale + 1e-3, (err, scale)
 
+    def test_frozen_encode_chunked_matches_unchunked(self):
+        """chunk=k (lax.map over batch chunks) matches the one-shot encode
+        within conv-retile accumulation noise (XLA picks per-batch-size conv
+        tilings, so values move ~1e-3 relative even in fp32)."""
+        model = RQVAE(
+            hparams=RQVAEHParams.create(HP), ddconfig=DDConfig.create(DD), use_kernel=False
+        )
+        x0 = jnp.zeros((2, 32, 32, 3))
+        vq_vars = model.init(
+            {"params": jax.random.PRNGKey(0), "quantizer": jax.random.PRNGKey(1)}, x0
+        )
+        imgs = jax.random.uniform(jax.random.PRNGKey(3), (8, 32, 32, 3)) * 2 - 1
+        z32 = np.asarray(t2.make_frozen_encode_fn(model, vq_vars, dtype=None)(imgs))
+        z32_c = np.asarray(
+            t2.make_frozen_encode_fn(model, vq_vars, dtype=None, chunk=2)(imgs)
+        )
+        np.testing.assert_allclose(z32_c, z32, rtol=5e-3, atol=1e-5)
+        zb = np.asarray(t2.make_frozen_encode_fn(model, vq_vars)(imgs), np.float32)
+        zb_c = np.asarray(
+            t2.make_frozen_encode_fn(model, vq_vars, chunk=2)(imgs), np.float32
+        )
+        scale = np.abs(z32).mean()
+        assert np.abs(zb_c - zb).mean() < 0.02 * scale
+        # args-mode carries the same chunking
+        fn, enc_vars = t2.make_frozen_encode_fn(
+            model, vq_vars, dtype=None, as_args=True, chunk=4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fn(imgs, enc_vars)), z32, rtol=5e-3, atol=1e-5
+        )
+
     def test_train_step_with_frozen_stage1(self):
         model = RQVAE(
             hparams=RQVAEHParams.create(HP), ddconfig=DDConfig.create(DD), use_kernel=False

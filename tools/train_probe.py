@@ -153,6 +153,9 @@ def stage2():
         vqvae, vq_vars,
         dtype=None if os.environ.get("PROBE_ENCODE_FP32") else jnp.bfloat16,
         as_args=True,
+        # cap the frozen encoder's peak conv temps at big batch (bs>=128
+        # OOMs the compile unchunked); 0 disables
+        chunk=int(os.environ.get("PROBE_ENCODE_CHUNK", "64")) or None,
     )
 
     arch = dict(
