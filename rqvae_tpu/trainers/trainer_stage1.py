@@ -136,7 +136,14 @@ def make_train_step(
             return jnp.mean(jnp.square(out - xs))
         return jnp.mean(jnp.abs(out - xs))
 
-    def train_step(state: Stage1State, batch: dict, rng: jax.Array):
+    def train_step(
+        state: Stage1State, batch: dict, rng: jax.Array, lpips_vars=lpips_vars
+    ):
+        # `lpips_vars` defaults to the build-time weights (closure constants,
+        # convenient for the library loop) but can be passed as a CALL arg so
+        # the ~55 MB VGG tower rides the jit argument path instead of the HLO
+        # constant pool — the remote-compile tunnel rejects big constant
+        # payloads at bs >= 64 (same fix as make_frozen_encode_fn(as_args=True)).
         xs = batch["images"]
         rng = jax.random.fold_in(rng, state.step)
         out_ch = xs.shape[-1]

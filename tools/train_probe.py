@@ -31,10 +31,15 @@ def stage1():
     from rqvae_tpu.optim.schedule import create_schedule
     from rqvae_tpu.trainers import trainer_stage1 as t1
 
+    # PROBE_REMAT_S1=1: rematerialize the conv ResnetBlocks (DDConfig.
+    # checkpointing) — fp32 bs64 at 256px needs 28.8G of HLO temps on a
+    # 15.75G chip (the encoder's [64,256,256,128] backward temps are 2G
+    # each), so the big-batch sweep points only exist with remat and/or amp
     dd = DDConfig.create(
         dict(double_z=False, z_channels=256, resolution=256, in_channels=3,
              out_ch=3, ch=128, ch_mult=[1, 1, 2, 2, 4, 4], num_res_blocks=2,
-             attn_resolutions=[8], dropout=0.0)
+             attn_resolutions=[8], dropout=0.0,
+             checkpointing=bool(os.environ.get("PROBE_REMAT_S1")))
     )
     hp = RQVAEHParams.create(
         dict(embed_dim=256, n_embed=16384, loss_type="mse",
@@ -78,6 +83,9 @@ def stage1():
         batch = {"images": jax.random.uniform(
             jax.random.PRNGKey(1), (bs, 256, 256, 3)) * 2 - 1}
         for name, pw, use_disc in variants:
+            # lpips_vars as a CALL arg: keeps the 55 MB VGG tower out of the
+            # HLO constant pool (the remote compile helper dies on the
+            # constant payload at bs >= 64; same as stage-2 as_args mode)
             step = jax.jit(
                 t1.make_train_step(model, disc, lpips, lpips_vars,
                                    t1.GanLossConfig(disc_start=0, perceptual_weight=pw,
@@ -86,14 +94,13 @@ def stage1():
                 donate_argnums=(0,),
             )
             try:
-                flops = step.lower(state, batch, rng).compile().cost_analysis()[
-                    "flops"
-                ]
+                flops = step.lower(state, batch, rng, lpips_vars).compile(
+                ).cost_analysis()["flops"]
             except Exception:
                 flops = 0.0
             t0 = time.time()
             try:
-                state, metrics, _ = step(state, batch, rng)
+                state, metrics, _ = step(state, batch, rng, lpips_vars)
                 fetch(metrics["loss_total"])
             except Exception as e:  # OOM at large batch: report and continue
                 print(f"# stage1 [{name}] bs{bs}: FAILED "
@@ -105,7 +112,7 @@ def stage1():
             N = 8
             t0 = time.time()
             for _ in range(N):
-                state, metrics, _ = step(state, batch, rng)
+                state, metrics, _ = step(state, batch, rng, lpips_vars)
             fetch(metrics["loss_total"])
             dt = (time.time() - t0) / N
             mfu = f", ~{flops/dt/197e12*100:.1f}% MFU" if flops else ""
@@ -115,7 +122,7 @@ def stage1():
         os.makedirs("/tmp/jax_trace_s1", exist_ok=True)
         with jax.profiler.trace("/tmp/jax_trace_s1"):
             for _ in range(2):
-                state, metrics, _ = step(state, batch, rng)
+                state, metrics, _ = step(state, batch, rng, lpips_vars)
             fetch(metrics["loss_total"])
         print("# stage1 trace -> /tmp/jax_trace_s1 (tools/trace_top_ops.py)", flush=True)
 
